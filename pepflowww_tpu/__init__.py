@@ -1,0 +1,19 @@
+"""pepflowww_tpu — TPU-native full-atom peptide design via multi-modal flow matching.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+Ced3-han/PepFlowww (ICML 2024, arXiv:2406.00735): joint flow matching of
+backbone rigid frames (SO(3) x R^3), side-chain torsions (flat torus T^5) and
+sequence (logit simplex) conditioned on a receptor binding pocket.
+
+Layout:
+    constants   — chemical tables (AA enum, 15-atom layout, rigid groups)
+    ops         — manifold math, frame algebra, all-atom reconstruction
+    models      — featurizers + IPA trunk + flow model (flax.linen)
+    sampling    — jit'd Euler-ODE sampler (lax.scan over timesteps)
+    training    — loss, optax optimizer, plateau scheduler, checkpoints
+    parallel    — device-mesh utilities, data-parallel train step
+    data        — PDB parse/write, LMDB dataset, padding/bucketing collate
+    metrics     — RMSD/AAR/TM-score and eval harness
+"""
+
+__version__ = "0.1.0"

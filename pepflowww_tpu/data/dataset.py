@@ -1,0 +1,204 @@
+"""PepMerge-style peptide–pocket dataset: preprocessing + loading.
+
+Mirrors `models_con/pep_dataloader.py` from the reference:
+
+* each complex lives in `<structure_dir>/<id>/{peptide.pdb,pocket.pdb}`
+* both structures are centered on the peptide CA centroid; torsions are
+  computed after centering (pep_dataloader.py:50-58)
+* peptide length restricted to [3, 25] (:53); receptor chain_nb += 1 (:59)
+* item = receptor ‖ peptide with generate_mask marking the peptide (:63-70)
+* ids listed in an exclusion file (the test-split names.txt) are dropped from
+  the training cache (:36-45)
+
+The cache is a RecordStore instead of LMDB; preprocessing fans out over a
+process pool (joblib, as in the reference :163-168).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Iterator, Optional, Sequence
+
+import numpy as np
+
+from pepflowww_tpu.data import recordstore
+from pepflowww_tpu.data.collate import device_batch, pad_and_collate
+from pepflowww_tpu.data.pdb import parse_pdb
+from pepflowww_tpu import constants as C
+
+logger = logging.getLogger(__name__)
+
+
+def _torsions(pos15: np.ndarray, aa: np.ndarray):
+    from pepflowww_tpu.ops import allatom
+    import jax.numpy as jnp
+
+    tor, mask = allatom.get_torsion_angles(jnp.asarray(pos15)[None], jnp.asarray(aa)[None])
+    return np.asarray(tor)[0].astype(np.float32), np.asarray(mask)[0]
+
+
+def preprocess_structure(task: dict, exclude: Sequence[str] = ()) -> Optional[dict]:
+    """One complex -> preprocessed item dict, or None on failure."""
+    try:
+        if task["id"] in exclude:
+            raise ValueError(f'{task["id"]} in exclusion list')
+        pdb_path = task["pdb_path"]
+        pep, _ = parse_pdb(os.path.join(pdb_path, "peptide.pdb"))
+        if pep is None:
+            raise ValueError("empty peptide")
+        ca_mask = pep["mask_heavyatom"][:, C.BBHeavyAtom.CA]
+        center = pep["pos_heavyatom"][ca_mask, C.BBHeavyAtom.CA].sum(axis=0) / (
+            ca_mask.sum() + 1e-8
+        )
+        pep["pos_heavyatom"] = pep["pos_heavyatom"] - center[None, None, :]
+        pep["torsion_angle"], pep["torsion_angle_mask"] = _torsions(
+            pep["pos_heavyatom"], pep["aa"]
+        )
+        if len(pep["aa"]) < 3 or len(pep["aa"]) > 25:
+            raise ValueError("peptide length not in [3,25]")
+
+        rec, _ = parse_pdb(os.path.join(pdb_path, "pocket.pdb"))
+        if rec is None:
+            raise ValueError("empty pocket")
+        rec["pos_heavyatom"] = rec["pos_heavyatom"] - center[None, None, :]
+        rec["torsion_angle"], rec["torsion_angle_mask"] = _torsions(
+            rec["pos_heavyatom"], rec["aa"]
+        )
+        rec["chain_nb"] = rec["chain_nb"] + 1
+
+        data = {"id": task["id"]}
+        data["generate_mask"] = np.concatenate(
+            [np.zeros(len(rec["aa"]), dtype=bool), np.ones(len(pep["aa"]), dtype=bool)]
+        )
+        for k in rec.keys():
+            if isinstance(rec[k], np.ndarray):
+                data[k] = np.concatenate([rec[k], pep[k]], axis=0)
+            elif isinstance(rec[k], list):
+                data[k] = rec[k] + pep[k]
+            else:
+                raise ValueError(f"Unknown field type for {k}")
+        return data
+    except (KeyError, ValueError, TypeError, OSError) as e:
+        logger.warning("[%s] %s: %s", task.get("id"), e.__class__.__name__, e)
+        return None
+
+
+class PepDataset:
+    """Preprocess-once, read-many dataset over a RecordStore cache."""
+
+    def __init__(
+        self,
+        structure_dir: str,
+        dataset_dir: str,
+        name: str = "pep",
+        reset: bool = False,
+        exclude_names_file: Optional[str] = None,
+        n_jobs: Optional[int] = None,
+    ):
+        self.structure_dir = structure_dir
+        self.dataset_dir = dataset_dir
+        self.name = name
+        self._store: Optional[recordstore.RecordStore] = None
+
+        self.exclude = []
+        if exclude_names_file and os.path.exists(exclude_names_file):
+            with open(exclude_names_file) as f:
+                self.exclude = [line.strip() for line in f if line.strip()]
+
+        cache = self._cache_path
+        if reset and recordstore.exists(cache):
+            os.remove(cache)
+            os.remove(cache + ".idx")
+        if not recordstore.exists(cache):
+            self._preprocess(n_jobs=n_jobs)
+
+    @property
+    def _cache_path(self) -> str:
+        return os.path.join(self.dataset_dir, f"{self.name}_structure_cache.rec")
+
+    def _preprocess(self, n_jobs: Optional[int] = None):
+        os.makedirs(self.dataset_dir, exist_ok=True)
+        all_pdbs = sorted(os.listdir(self.structure_dir))
+        tasks = [
+            {"id": name, "pdb_path": os.path.join(self.structure_dir, name)}
+            for name in all_pdbs
+            if os.path.isdir(os.path.join(self.structure_dir, name))
+        ]
+        import joblib
+
+        n_jobs = n_jobs or max(joblib.cpu_count() // 2, 1)
+        results = joblib.Parallel(n_jobs=n_jobs)(
+            joblib.delayed(preprocess_structure)(t, tuple(self.exclude)) for t in tasks
+        )
+        with recordstore.RecordStoreWriter(self._cache_path) as w:
+            for data in results:
+                if data is None:
+                    continue
+                w.put(data["id"], data)
+
+    def _connect(self) -> recordstore.RecordStore:
+        if self._store is None:
+            self._store = recordstore.RecordStore(self._cache_path)
+        return self._store
+
+    def __len__(self) -> int:
+        return len(self._connect())
+
+    def __getitem__(self, i: int) -> dict:
+        return self._connect()[i]
+
+    @property
+    def ids(self):
+        return self._connect().keys
+
+
+class DataLoader:
+    """Length-bucketed, shuffled batch iterator yielding numpy device batches.
+
+    Replaces torch DataLoader + PaddingCollate + DistributedSampler: items are
+    grouped into length-sorted shuffled batches so each compiled program shape
+    is reused; `shard` splits batches across processes for multi-host DP.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        seed: int = 0,
+        num_shards: int = 1,
+        shard_index: int = 0,
+        drop_last: bool = True,
+        pad_to: Optional[int] = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        self.drop_last = drop_last
+        self.pad_to = pad_to
+        self._epoch = 0
+
+    def __iter__(self) -> Iterator[dict]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        order = order[self.shard_index :: self.num_shards]
+        self._epoch += 1
+
+        bs = self.batch_size
+        for i in range(0, len(order) - (bs - 1 if self.drop_last else 0), bs):
+            idxs = order[i : i + bs]
+            if len(idxs) == 0:
+                continue
+            items = [self.dataset[int(j)] for j in idxs]
+            yield device_batch(pad_and_collate(items, pad_to=self.pad_to))
+
+    def infinite(self) -> Iterator[dict]:
+        while True:
+            yield from iter(self)

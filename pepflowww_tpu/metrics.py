@@ -1,0 +1,114 @@
+"""In-repo evaluation metrics.
+
+Covers the metrics the reference computes online at inference
+(`models_con/inference.py:77-79`: CA deviation, rotation Frobenius, AAR) and
+the geometry metrics its eval harness shells out for
+(`eval/geometry.py:26-110`: RMSD with/without superposition, TM-score,
+binding-site overlap, sequence diff ratio). Secondary-structure recovery and
+the energy metrics need external binaries (DSSP/Rosetta/FoldX) and live in
+:mod:`pepflowww_tpu.evalharness`.
+
+All functions are numpy/JAX, masked, batched over (B, L, ...).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from pepflowww_tpu.ops.frames import kabsch_align
+
+
+def _masked_mean(x, mask, axis):
+    m = mask.astype(x.dtype)
+    return (x * m).sum(axis=axis) / (m.sum(axis=axis) + 1e-8)
+
+
+def ca_rmsd(pos_a: np.ndarray, pos_b: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Root-mean-square CA deviation without superposition: (B,)."""
+    sq = np.square(pos_a - pos_b).sum(axis=-1)
+    return np.sqrt(_masked_mean(sq, mask, axis=-1))
+
+
+def ca_rmsd_aligned(pos_a: np.ndarray, pos_b: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """CA RMSD after Kabsch superposition of a onto b (eval/geometry.py:47-59)."""
+    aligned, _, _ = kabsch_align(jnp.asarray(pos_a), jnp.asarray(pos_b), jnp.asarray(mask))
+    return ca_rmsd(np.asarray(aligned), pos_b, mask)
+
+
+def rotation_frobenius(R_a: np.ndarray, R_b: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """sqrt(mean ||R_a - R_b||_F^2) over masked residues (inference.py:78)."""
+    sq = np.square(R_a - R_b).sum(axis=(-1, -2))
+    return np.sqrt(_masked_mean(sq, mask, axis=-1))
+
+
+def amino_acid_recovery(seq_a: np.ndarray, seq_b: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """Fraction of matching residues (AAR, inference.py:79)."""
+    return _masked_mean((seq_a == seq_b).astype(np.float32), mask, axis=-1)
+
+
+def seq_diff_ratio(seq_a, seq_b, mask) -> np.ndarray:
+    """eval/geometry.py:26 — fraction differing."""
+    return 1.0 - amino_acid_recovery(seq_a, seq_b, mask)
+
+
+def tm_score(pos_model: np.ndarray, pos_native: np.ndarray, mask: np.ndarray) -> np.ndarray:
+    """TM-score over an aligned residue correspondence (batched, (B,)).
+
+    Uses the standard normalization d0(L) = 1.24 (L-15)^(1/3) - 1.8 (clamped
+    to >= 0.5) after Kabsch superposition. The reference shells out to the
+    TMscore binary (eval/align.py:7-13); for same-length generated-vs-native
+    peptides the correspondence is the identity, making this exact.
+    """
+    aligned, _, _ = kabsch_align(
+        jnp.asarray(pos_model), jnp.asarray(pos_native), jnp.asarray(mask)
+    )
+    aligned = np.asarray(aligned)
+    L = mask.sum(axis=-1)
+    d0 = 1.24 * np.cbrt(np.maximum(L - 15.0, 1e-6)) - 1.8
+    d0 = np.maximum(d0, 0.5)
+    di2 = np.square(aligned - pos_native).sum(axis=-1)
+    score = 1.0 / (1.0 + di2 / np.square(d0)[..., None])
+    return _masked_mean(score, mask, axis=-1)
+
+
+def binding_site_ratio(
+    pep_pos: np.ndarray,
+    pep_mask: np.ndarray,
+    rec_pos: np.ndarray,
+    rec_mask: np.ndarray,
+    native_pep_pos: np.ndarray,
+    cutoff: float = 10.0,
+) -> np.ndarray:
+    """Overlap of receptor residues within `cutoff` Å of the peptide, generated
+    vs native (eval/geometry.py:93-110). All positions are CA: (B, L, 3)."""
+
+    def site(pp, pm):
+        d2 = np.square(rec_pos[:, :, None, :] - pp[:, None, :, :]).sum(-1)
+        d2 = np.where(pm[:, None, :], d2, np.inf)
+        near = (d2 <= cutoff**2).any(axis=-1)
+        return near & rec_mask.astype(bool)
+
+    gen_site = site(pep_pos, pep_mask.astype(bool))
+    nat_site = site(native_pep_pos, pep_mask.astype(bool))
+    inter = (gen_site & nat_site).sum(axis=-1)
+    union = nat_site.sum(axis=-1)
+    return inter / np.maximum(union, 1)
+
+
+def evaluate_sample(sample_out: dict, batch: dict) -> dict:
+    """Online metrics for one sampler output (cf. inference.py:77-83)."""
+    gen = np.asarray(batch["generate_mask"])
+    trans = np.asarray(sample_out["trans"])
+    trans_1 = np.asarray(sample_out["trans_1"])
+    return {
+        "ca_rmsd": ca_rmsd(trans, trans_1, gen),
+        "ca_rmsd_aligned": ca_rmsd_aligned(trans, trans_1, gen),
+        "rot_frobenius": rotation_frobenius(
+            np.asarray(sample_out["rotmats"]), np.asarray(sample_out["rotmats_1"]), gen
+        ),
+        "aar": amino_acid_recovery(
+            np.asarray(sample_out["seqs"]), np.asarray(sample_out["seqs_1"]), gen
+        ),
+        "tm_score": tm_score(trans, trans_1, gen),
+    }

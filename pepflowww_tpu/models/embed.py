@@ -1,0 +1,168 @@
+"""Per-residue and pair featurizers.
+
+Re-implements `models_con/node.py` and `models_con/edge.py` from the reference
+with TPU-friendly formulations: the 22-way scattered local-coordinate feature
+becomes a one-hot outer product (no advanced indexing), and the 15x15
+inter-atom distance block is expressed as fused elementwise ops that XLA can
+keep in registers.
+
+Both featurizers implement the reference's leakage masks exactly: at training
+time the to-be-generated region's sequence is replaced by UNK and its
+structure-derived features are zeroed (node.py:54-93, edge.py:62-97).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pepflowww_tpu import constants as C
+from pepflowww_tpu.ops import frames
+from pepflowww_tpu.ops.dihedrals import get_backbone_dihedral_angles, pairwise_dihedrals
+from pepflowww_tpu.models.layers import AngularEncoding, MLP
+
+
+class NodeEmbedder(nn.Module):
+    """Per-residue features -> (B, L, feat_dim) (node.py:9-105)."""
+
+    feat_dim: int
+    max_num_atoms: int = C.MAX_NUM_HEAVYATOMS
+    max_aa_types: int = C.MAX_AA_TYPES
+
+    @nn.compact
+    def __call__(self, aa, res_nb, chain_nb, pos_atoms, mask_atoms,
+                 structure_mask: Optional[jax.Array] = None,
+                 sequence_mask: Optional[jax.Array] = None):
+        N, L = aa.shape
+        mask_residue = mask_atoms[:, :, C.BBHeavyAtom.CA]
+
+        pos_atoms = pos_atoms[:, :, : self.max_num_atoms]
+        mask_atoms = mask_atoms[:, :, : self.max_num_atoms]
+
+        if sequence_mask is not None:
+            aa = jnp.where(sequence_mask, aa, jnp.full_like(aa, C.AA.UNK))
+        aa_feat = nn.Embed(
+            self.max_aa_types, self.feat_dim,
+            embedding_init=nn.initializers.normal(1.0),
+        )(aa)
+
+        # Local backbone-frame coordinates of all atoms.
+        R = frames.construct_3d_basis(
+            pos_atoms[:, :, C.BBHeavyAtom.CA],
+            pos_atoms[:, :, C.BBHeavyAtom.C],
+            pos_atoms[:, :, C.BBHeavyAtom.N],
+        )
+        t = pos_atoms[:, :, C.BBHeavyAtom.CA]
+        crd = frames.global_to_local(R, t, pos_atoms)  # (N, L, A, 3)
+        crd = jnp.where(mask_atoms[..., None], crd, 0.0)
+
+        # 22-way scattered coordinates as a one-hot outer product
+        # (node.py:70-75 without the (N,L,22,15,3) boolean expand).
+        aa_onehot = jax.nn.one_hot(aa, self.max_aa_types, dtype=crd.dtype)  # (N, L, 22)
+        crd_flat = crd.reshape(N, L, self.max_num_atoms * 3)
+        crd_feat = (aa_onehot[..., None] * crd_flat[:, :, None, :]).reshape(
+            N, L, self.max_aa_types * self.max_num_atoms * 3
+        )
+        if structure_mask is not None:
+            crd_feat = crd_feat * structure_mask[:, :, None]
+
+        # Backbone dihedral features.
+        dihed_embed = AngularEncoding()
+        bb_dihedral, mask_bb_dihed = get_backbone_dihedral_angles(
+            pos_atoms, chain_nb=chain_nb, res_nb=res_nb, mask=mask_residue
+        )
+        dihed_feat = dihed_embed(bb_dihedral[..., None]) * mask_bb_dihed[..., None]
+        dihed_feat = dihed_feat.reshape(N, L, -1)
+        if structure_mask is not None:
+            # Avoid leakage via dihedrals of anchor residues (node.py:84-93).
+            dihed_mask = jnp.logical_and(
+                structure_mask,
+                jnp.logical_and(
+                    jnp.roll(structure_mask, 1, axis=1),
+                    jnp.roll(structure_mask, -1, axis=1),
+                ),
+            )
+            dihed_feat = dihed_feat * dihed_mask[:, :, None]
+
+        out = MLP((self.feat_dim * 2, self.feat_dim, self.feat_dim, self.feat_dim))(
+            jnp.concatenate([aa_feat, crd_feat, dihed_feat], axis=-1)
+        )
+        return out * mask_residue[:, :, None]
+
+
+class EdgeEmbedder(nn.Module):
+    """Pair features -> (B, L, L, feat_dim) (edge.py:11-112)."""
+
+    feat_dim: int
+    max_num_atoms: int = C.MAX_NUM_HEAVYATOMS
+    max_aa_types: int = C.MAX_AA_TYPES
+    max_relpos: int = 32
+
+    @nn.compact
+    def __call__(self, aa, res_nb, chain_nb, pos_atoms, mask_atoms,
+                 structure_mask: Optional[jax.Array] = None,
+                 sequence_mask: Optional[jax.Array] = None):
+        N, L = aa.shape
+        A = self.max_num_atoms
+        pos_atoms = pos_atoms[:, :, :A]
+        mask_atoms = mask_atoms[:, :, :A]
+
+        mask_residue = mask_atoms[:, :, C.BBHeavyAtom.CA]
+        mask_pair = mask_residue[:, :, None] * mask_residue[:, None, :]
+        pair_structure_mask = (
+            structure_mask[:, :, None] * structure_mask[:, None, :]
+            if structure_mask is not None
+            else None
+        )
+
+        if sequence_mask is not None:
+            aa = jnp.where(sequence_mask, aa, jnp.full_like(aa, C.AA.UNK))
+        aa_pair = aa[:, :, None] * self.max_aa_types + aa[:, None, :]  # (N, L, L)
+        feat_aapair = nn.Embed(
+            self.max_aa_types**2, self.feat_dim,
+            embedding_init=nn.initializers.normal(1.0), name="aa_pair_embed",
+        )(aa_pair)
+
+        # Relative positions, gated by same-chain.
+        same_chain = chain_nb[:, :, None] == chain_nb[:, None, :]
+        relpos = jnp.clip(
+            res_nb[:, :, None] - res_nb[:, None, :], -self.max_relpos, self.max_relpos
+        )
+        feat_relpos = nn.Embed(
+            2 * self.max_relpos + 1, self.feat_dim,
+            embedding_init=nn.initializers.normal(1.0), name="relpos_embed",
+        )(relpos + self.max_relpos) * same_chain[..., None]
+
+        # 15x15 inter-atom distance gaussians with learned per-aa-pair coefs.
+        d2 = jnp.sum(
+            jnp.square(pos_atoms[:, :, None, :, None] - pos_atoms[:, None, :, None, :]),
+            axis=-1,
+        ).reshape(N, L, L, A * A) * (C.ANG_TO_NM_SCALE**2)
+        coef = nn.Embed(
+            self.max_aa_types**2, A * A,
+            embedding_init=nn.initializers.zeros_init(), name="aapair_to_distcoef",
+        )(aa_pair)
+        c = jax.nn.softplus(coef)
+        d_gauss = jnp.exp(-c * d2)
+        mask_atom_pair = (
+            mask_atoms[:, :, None, :, None] * mask_atoms[:, None, :, None, :]
+        ).reshape(N, L, L, A * A)
+        feat_dist = MLP((self.feat_dim, self.feat_dim), final_activation=True,
+                        name="distance_embed")(d_gauss * mask_atom_pair)
+        if pair_structure_mask is not None:
+            feat_dist = feat_dist * pair_structure_mask[..., None]
+
+        # Inter-residue phi/psi dihedrals.
+        dihed = pairwise_dihedrals(pos_atoms)  # (N, L, L, 2)
+        feat_dihed = AngularEncoding(name="dihedral_embed")(dihed)
+        if pair_structure_mask is not None:
+            feat_dihed = feat_dihed * pair_structure_mask[..., None]
+
+        feat_all = jnp.concatenate(
+            [feat_aapair, feat_relpos, feat_dist, feat_dihed], axis=-1
+        )
+        feat_all = MLP((self.feat_dim, self.feat_dim, self.feat_dim), name="out_mlp")(feat_all)
+        return feat_all * mask_pair[..., None]

@@ -1,0 +1,128 @@
+"""Shared layers: AF2-style initialized Dense, angular/time encodings.
+
+Re-designs `models_con/ipa_pytorch.py:64-181` (Linear with AF2 init schemes)
+and `pepflow/modules/common/layers.py:92-113` (AngularEncoding) plus the DDPM
+sinusoidal time embedding (`models_con/utils.py:60-72`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+# AF2 init schemes (ipa_pytorch.py:64-101). Truncated-normal initializers in
+# JAX apply the truncation std correction, matching scipy-based trunc_normal_.
+INITIALIZERS = {
+    "default": nn.initializers.variance_scaling(1.0, "fan_in", "truncated_normal"),
+    "relu": nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal"),
+    "glorot": nn.initializers.xavier_uniform(),
+    "gating": nn.initializers.zeros_init(),
+    "normal": nn.initializers.variance_scaling(1.0, "fan_in", "normal"),
+    "final": nn.initializers.zeros_init(),
+    # torch.nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(±1/sqrt(fan_in))
+    "torch": nn.initializers.variance_scaling(1.0 / 3.0, "fan_in", "uniform"),
+}
+
+
+class Linear(nn.Module):
+    """Dense layer with named init scheme (cf. ipa_pytorch.py:116-181)."""
+
+    features: int
+    init: str = "default"
+    use_bias: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        bias_init = (
+            nn.initializers.ones_init() if self.init == "gating" else nn.initializers.zeros_init()
+        )
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=INITIALIZERS[self.init],
+            bias_init=bias_init,
+            dtype=self.dtype,
+        )(x)
+
+
+def mlp(dims, init="torch", final_init="torch", dtype=None, final_activation=False):
+    """Build a ReLU MLP as a list of callables (applied left-to-right)."""
+    layers = []
+    for i, d in enumerate(dims):
+        is_last = i == len(dims) - 1
+        layers.append(Linear(d, init=(final_init if is_last else init), dtype=dtype))
+        if not is_last or final_activation:
+            layers.append(nn.relu)
+    return layers
+
+
+class MLP(nn.Module):
+    """ReLU MLP mirroring the reference's nn.Sequential stacks."""
+
+    dims: tuple
+    init: str = "torch"
+    final_init: str = "torch"
+    final_activation: bool = False
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dims):
+            is_last = i == len(self.dims) - 1
+            x = Linear(d, init=(self.final_init if is_last else self.init), dtype=self.dtype)(x)
+            if not is_last or self.final_activation:
+                x = nn.relu(x)
+        return x
+
+
+class AngularEncoding(nn.Module):
+    """Multi-frequency angle features (layers.py:92-113).
+
+    freq_bands = [1..n, 1/1..1/n]; output per input dim: [x, sin(x f), cos(x f)]
+    giving dim * (1 + 4n) features.
+    """
+
+    num_funcs: int = 3
+
+    def get_out_dim(self, in_dim: int) -> int:
+        return in_dim * (1 + 2 * 2 * self.num_funcs)
+
+    @nn.compact
+    def __call__(self, x):
+        n = self.num_funcs
+        freqs = jnp.asarray(
+            [float(i + 1) for i in range(n)] + [1.0 / (i + 1) for i in range(n)],
+            dtype=x.dtype,
+        )
+        xe = x[..., None]
+        code = jnp.concatenate(
+            [xe, jnp.sin(xe * freqs), jnp.cos(xe * freqs)], axis=-1
+        )
+        return code.reshape(x.shape[:-1] + (-1,))
+
+
+def get_time_embedding(timesteps: jax.Array, embedding_dim: int, max_positions: int = 2000):
+    """DDPM sinusoidal embedding of scalar times in [0, 1]
+    (models_con/utils.py:60-72)."""
+    timesteps = timesteps * max_positions
+    half_dim = embedding_dim // 2
+    emb = math.log(max_positions) / (half_dim - 1)
+    emb = jnp.exp(jnp.arange(half_dim, dtype=jnp.float32) * -emb)
+    emb = timesteps.astype(jnp.float32)[:, None] * emb[None, :]
+    emb = jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=1)
+    if embedding_dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+def get_index_embedding(indices: jax.Array, embed_size: int, max_len: int = 2056):
+    """Sin/cos positional embedding of integer offsets (models_con/utils.py:39-57)."""
+    K = jnp.arange(embed_size // 2, dtype=jnp.float32)
+    scale = math.pi / (max_len ** (2 * K / embed_size))
+    ang = indices[..., None].astype(jnp.float32) * scale
+    return jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)

@@ -1,0 +1,103 @@
+"""GAEncoder — the geometric-attention denoising trunk.
+
+Re-implements `models_con/ga.py` from the reference: mixes node features with
+current-sequence / time / torsion-angle embeddings, runs num_blocks of
+{IPA → LayerNorm → seq transformer → zero-init projection → transition →
+6-D backbone frame update → edge transition}, and reads out predicted frames,
+torsion angles (wrapped to [0, 2π)) and sequence logits.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pepflowww_tpu.models.layers import AngularEncoding, Linear, MLP, get_time_embedding
+from pepflowww_tpu.models.ipa import (
+    BackboneUpdate,
+    EdgeTransition,
+    InvariantPointAttention,
+    StructureModuleTransition,
+    TorchTransformerEncoder,
+)
+from pepflowww_tpu.ops import frames
+
+
+@dataclasses.dataclass(frozen=True)
+class IPAConfig:
+    """Mirrors configs/learn_angle.yaml:5-15."""
+
+    c_s: int = 128
+    c_z: int = 64
+    c_hidden: int = 128
+    no_heads: int = 8
+    no_qk_points: int = 8
+    no_v_points: int = 12
+    seq_tfmr_num_heads: int = 4
+    seq_tfmr_num_layers: int = 2
+    num_blocks: int = 6
+
+
+class GAEncoder(nn.Module):
+    """ga.py:15-126."""
+
+    cfg: IPAConfig
+
+    @nn.compact
+    def __call__(self, t, rotmats_t, trans_t, angles_t, seqs_t, node_embed,
+                 edge_embed, generate_mask, res_mask):
+        cfg = self.cfg
+        B, L = seqs_t.shape
+
+        node_mask = res_mask.astype(node_embed.dtype)
+        edge_mask = node_mask[:, None, :] * node_mask[:, :, None]
+
+        # Mix in current sequence, time, and current torsion angles (ga.py:94).
+        angles_embedder = AngularEncoding(num_funcs=12)
+        seq_embed = nn.Embed(
+            22, cfg.c_s, embedding_init=nn.initializers.normal(1.0),
+            name="current_seq_embedder",
+        )(seqs_t)
+        t_embed = get_time_embedding(t[:, 0], cfg.c_s, max_positions=2056)
+        t_embed = jnp.broadcast_to(t_embed[:, None, :], (B, L, cfg.c_s))
+        ang_embed = angles_embedder(angles_t).reshape(B, L, -1)
+        node_embed = MLP((cfg.c_s, cfg.c_s), name="res_feat_mixer")(
+            jnp.concatenate([node_embed, seq_embed, t_embed, ang_embed], axis=-1)
+        )
+        node_embed = node_embed * node_mask[..., None]
+
+        R, tr = rotmats_t, trans_t
+        for b in range(cfg.num_blocks):
+            ipa_embed = InvariantPointAttention(
+                cfg.c_s, cfg.c_z, cfg.c_hidden, cfg.no_heads,
+                cfg.no_qk_points, cfg.no_v_points, name=f"ipa_{b}",
+            )(node_embed, edge_embed, R, tr, node_mask)
+            ipa_embed = ipa_embed * node_mask[..., None]
+            node_embed = nn.LayerNorm(name=f"ipa_ln_{b}")(node_embed + ipa_embed)
+            seq_tfmr_out = TorchTransformerEncoder(
+                cfg.c_s, cfg.seq_tfmr_num_heads, cfg.seq_tfmr_num_layers,
+                name=f"seq_tfmr_{b}",
+            )(node_embed, key_padding_mask=(node_mask < 0.5))
+            node_embed = node_embed + Linear(cfg.c_s, init="final", name=f"post_tfmr_{b}")(seq_tfmr_out)
+            node_embed = StructureModuleTransition(cfg.c_s, name=f"node_transition_{b}")(node_embed)
+            node_embed = node_embed * node_mask[..., None]
+            update = BackboneUpdate(cfg.c_s, name=f"bb_update_{b}")(node_embed * node_mask[..., None])
+            R, tr = frames.compose_q_update(R, tr, update, update_mask=node_mask)
+
+            if b < cfg.num_blocks - 1:
+                edge_embed = EdgeTransition(
+                    node_embed_size=cfg.c_s, edge_embed_in=cfg.c_z,
+                    edge_embed_out=cfg.c_z, name=f"edge_transition_{b}",
+                )(node_embed, edge_embed)
+                edge_embed = edge_embed * edge_mask[..., None]
+
+        pred_trans1 = tr
+        pred_rotmats1 = R
+        pred_seqs1_prob = MLP((cfg.c_s, cfg.c_s, 20), name="seq_net")(node_embed)
+        pred_angles1 = MLP((cfg.c_s, cfg.c_s, 5), name="angle_net")(node_embed)
+        pred_angles1 = jnp.mod(pred_angles1, 2 * math.pi)  # bound to [0, 2π)
+
+        return pred_rotmats1, pred_trans1, pred_angles1, pred_seqs1_prob

@@ -1,0 +1,203 @@
+"""Euler-ODE sampler — jit'd lax.scan over timesteps.
+
+Re-implements `FlowModel.sample` from the reference (flow_model.py:229-374) as
+a compiled scan: one trace, `num_steps` fused iterations, trajectory stacked
+on-device (the reference does a host transfer every step, flow_model.py:313 —
+here nothing leaves HBM until the caller asks).
+
+Step semantics match the reference exactly:
+* context rows re-imposed via generate_mask on every modality, every step
+* sequence re-sampled from the simplex each step; its torsion-validity table
+  zeroes chemically undefined angles (flow_model.py:302-303, 332-333)
+* rotations integrate with the hard-coded exp schedule d_t * exp_rate
+  (flow_model.py:322), translations/simplex linearly against the *initial*
+  noise, torus angles along the shortest arc
+* one extra prediction at t=1 appended (flow_model.py:346-372)
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pepflowww_tpu.models.flow import FlowModel
+from pepflowww_tpu.ops import allatom, simplex, so3, torus
+
+
+def _impose_context(pred, truth, mask):
+    return jnp.where(mask, pred, truth)
+
+
+def euler_sample(
+    model: FlowModel,
+    params,
+    batch,
+    key: jax.Array,
+    num_steps: int = 100,
+    sample_bb: bool = True,
+    sample_ang: bool = True,
+    sample_seq: bool = True,
+    return_traj: bool = False,
+):
+    """Run the multi-modal Euler ODE.
+
+    Returns a dict with the final clean prediction
+    {rotmats, trans, angles, seqs, seqs_simplex, rotmats_1, trans_1, angles_1,
+    seqs_1} and, if `return_traj`, a stacked per-step trajectory under "traj".
+
+    Wrap in `jax.jit` with static num_steps/sample_* for production use; see
+    :func:`make_sampler`.
+    """
+    icfg = model.cfg.interpolant
+    K, k = icfg.num_classes, icfg.simplex_value
+    B, L = batch["aa"].shape
+
+    gen_mask = batch["generate_mask"]
+    gm1 = gen_mask[..., None]
+    gm2 = gen_mask[..., None, None]
+    res_mask = batch["res_mask"]
+
+    # Encode once; features are reused across all steps (flow_model.py:239).
+    rotmats_1, trans_1, angles_1, seqs_1, node_embed, edge_embed = model.apply(
+        {"params": params}, batch, method="encode"
+    )
+    trans_1_c = trans_1
+    seqs_1_simplex = simplex.seq_to_simplex(seqs_1, k, K)
+
+    key, k_rot, k_trans, k_ang, k_seq, k_seqtok = jax.random.split(key, 6)
+
+    # Initial noise (flow_model.py:251-277).
+    if sample_bb:
+        rotmats_0 = so3.uniform_so3(k_rot, (B, L))
+        rotmats_0 = jnp.where(gm2, rotmats_0, rotmats_1)
+        trans_0 = jax.random.normal(k_trans, (B, L, 3))
+        trans_0_c, _ = FlowModel.zero_center_part(
+            trans_0, gen_mask.astype(jnp.float32), res_mask.astype(jnp.float32)
+        )
+        trans_0_c = jnp.where(gm1, trans_0_c, trans_1_c)
+    else:
+        rotmats_0, trans_0_c = rotmats_1, trans_1_c
+    if sample_ang:
+        angles_0 = torus.random_uniform(k_ang, angles_1.shape, dtype=angles_1.dtype)
+        angles_0 = jnp.where(gm1, angles_0, angles_1)
+    else:
+        angles_0 = angles_1
+    if sample_seq:
+        seqs_0_simplex = k * jax.random.normal(k_seq, (B, L, K))
+        seqs_0 = simplex.sample_from(k_seqtok, jax.nn.softmax(seqs_0_simplex, axis=-1))
+        seqs_0 = jnp.where(gen_mask, seqs_0, seqs_1)
+        seqs_0_simplex = jnp.where(gm1, seqs_0_simplex, seqs_1_simplex)
+    else:
+        seqs_0 = seqs_1
+        seqs_0_simplex = seqs_1_simplex
+
+    ts = jnp.linspace(1e-2, 1.0, num_steps)
+
+    def denoise(t_scalar, rot, tr, ang, seq):
+        t = jnp.full((B, 1), t_scalar)
+        return model.apply(
+            {"params": params}, t, rot, tr, ang, seq, node_embed, edge_embed,
+            gen_mask, res_mask, method="denoise",
+        )
+
+    def predict_clean(t_scalar, rot, tr, ang, seq, key):
+        """Predict x̂₁ and re-impose context (flow_model.py:290-303)."""
+        pred_rot, pred_tr, pred_ang, pred_seq_logits = denoise(t_scalar, rot, tr, ang, seq)
+        pred_rot = _impose_context(pred_rot, rotmats_1, gm2)
+        pred_tr = _impose_context(pred_tr, trans_1_c, gm1)
+        pred_ang = _impose_context(pred_ang, angles_1, gm1)
+        pred_seq = simplex.sample_from(key, jax.nn.softmax(pred_seq_logits, axis=-1))
+        pred_seq = jnp.where(gen_mask, pred_seq, seqs_1)
+        pred_seq_simplex = simplex.seq_to_simplex(pred_seq, k, K)
+        tor_mask = allatom.torsions_mask_for(pred_seq) > 0.5
+        pred_ang = jnp.where(tor_mask, pred_ang, 0.0)
+        if not sample_bb:
+            pred_tr, pred_rot = trans_1_c, rotmats_1
+        if not sample_ang:
+            pred_ang = angles_1
+        if not sample_seq:
+            pred_seq, pred_seq_simplex = seqs_1, seqs_1_simplex
+        return pred_rot, pred_tr, pred_ang, pred_seq, pred_seq_simplex
+
+    def step(carry, t_pair):
+        rot, tr, ang, seq, seq_simplex, key = carry
+        t_1, t_2 = t_pair
+        key, k_pred, k_tok = jax.random.split(key, 3)
+
+        pred_rot, pred_tr, pred_ang, pred_seq, pred_seq_simplex = predict_clean(
+            t_1, rot, tr, ang, seq, k_pred
+        )
+
+        d_t = t_2 - t_1
+        # Euler updates (flow_model.py:316-333).
+        trans_t_2 = tr + (pred_tr - trans_0_c) * d_t
+        trans_t_2 = _impose_context(trans_t_2, trans_1_c, gm1)
+        rot_t_2 = so3.geodesic_t(d_t * icfg.rots_exp_rate, pred_rot, rot)
+        rot_t_2 = _impose_context(rot_t_2, rotmats_1, gm2)
+        ang_t_2 = torus.geodesic_t(d_t, pred_ang, ang)
+        ang_t_2 = _impose_context(ang_t_2, angles_1, gm1)
+        seq_simplex_t_2 = seq_simplex + (pred_seq_simplex - seqs_0_simplex) * d_t
+        seq_t_2 = simplex.sample_from(k_tok, jax.nn.softmax(seq_simplex_t_2, axis=-1))
+        seq_t_2 = jnp.where(gen_mask, seq_t_2, seqs_1)
+        tor_mask = allatom.torsions_mask_for(seq_t_2) > 0.5
+        ang_t_2 = jnp.where(tor_mask, ang_t_2, 0.0)
+
+        if not sample_bb:
+            trans_t_2, rot_t_2 = trans_1_c, rotmats_1
+        if not sample_ang:
+            ang_t_2 = angles_1
+        if not sample_seq:
+            seq_t_2 = seqs_1
+
+        new_carry = (rot_t_2, trans_t_2, ang_t_2, seq_t_2, seq_simplex_t_2, key)
+        out = (
+            {"rotmats": pred_rot, "trans": pred_tr, "angles": pred_ang,
+             "seqs": pred_seq, "seqs_simplex": pred_seq_simplex}
+            if return_traj
+            else None
+        )
+        return new_carry, out
+
+    carry0 = (rotmats_0, trans_0_c, angles_0, seqs_0, seqs_0_simplex, key)
+    t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=-1)
+    carry, traj = jax.lax.scan(step, carry0, t_pairs)
+    rot, tr, ang, seq, seq_simplex, key = carry
+
+    # Final prediction at t=1 (flow_model.py:346-372).
+    key, k_pred = jax.random.split(key)
+    pred_rot, pred_tr, pred_ang, pred_seq, pred_seq_simplex = predict_clean(
+        ts[-1], rot, tr, ang, seq, k_pred
+    )
+
+    out = {
+        "rotmats": pred_rot,
+        "trans": pred_tr,
+        "angles": pred_ang,
+        "seqs": pred_seq,
+        "seqs_simplex": pred_seq_simplex,
+        "rotmats_1": rotmats_1,
+        "trans_1": trans_1_c,
+        "angles_1": angles_1,
+        "seqs_1": seqs_1,
+    }
+    if return_traj:
+        out["traj"] = traj
+    return out
+
+
+def make_sampler(model: FlowModel, num_steps: int = 100, sample_bb: bool = True,
+                 sample_ang: bool = True, sample_seq: bool = True,
+                 return_traj: bool = False):
+    """Build a jit'd sampler fn(params, batch, key) -> outputs."""
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def fn(params, batch, key):
+        return euler_sample(
+            model, params, batch, key, num_steps=num_steps, sample_bb=sample_bb,
+            sample_ang=sample_ang, sample_seq=sample_seq, return_traj=return_traj,
+        )
+
+    return fn

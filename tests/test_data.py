@@ -1,0 +1,118 @@
+"""Data layer tests: PDB IO round trip, collate, record store, dataset build."""
+
+import os
+
+import numpy as np
+
+from pepflowww_tpu import constants as C
+from pepflowww_tpu.data import recordstore
+from pepflowww_tpu.data.collate import bucket_length, device_batch, pad_and_collate
+from pepflowww_tpu.data.pdb import parse_pdb, save_pdb
+from pepflowww_tpu.data.synthetic import make_complex
+
+
+def test_pdb_roundtrip(tmp_path, rng):
+    item = make_complex(rng, pep_len=8, rec_len=12)
+    path = str(tmp_path / "complex.pdb")
+    save_pdb(item, path)
+    parsed, seq_map = parse_pdb(path)
+    assert parsed is not None
+    # Chains may reorder (sorted by chain id) but residue content must match.
+    assert len(parsed["aa"]) == len(item["aa"])
+    order = np.argsort(item["chain_id"], kind="stable")
+    np.testing.assert_array_equal(parsed["aa"], item["aa"][order])
+    got = parsed["pos_heavyatom"][parsed["mask_heavyatom"]]
+    want = item["pos_heavyatom"][order][parsed["mask_heavyatom"]]
+    np.testing.assert_allclose(got, want, atol=2e-3)  # PDB has 3 decimals
+
+
+def test_collate_padding(rng):
+    items = [make_complex(rng, pep_len=5, rec_len=10), make_complex(rng, pep_len=8, rec_len=20)]
+    batch = pad_and_collate(items, pad_to=32)
+    assert batch["aa"].shape == (2, 32)
+    assert batch["pos_heavyatom"].shape == (2, 32, 15, 3)
+    assert batch["res_mask"][0].sum() == 15 and batch["res_mask"][1].sum() == 28
+    assert (batch["aa"][0, 15:] == C.PAD_RESIDUE_INDEX).all()
+    db = device_batch(batch)
+    assert db["aa"].dtype == np.int32
+    assert "id" not in db
+
+
+def test_bucket_length():
+    assert bucket_length(10) == 32
+    assert bucket_length(33) == 48
+    assert bucket_length(300) == 304
+
+
+def test_recordstore(tmp_path):
+    path = str(tmp_path / "store.rec")
+    with recordstore.RecordStoreWriter(path) as w:
+        w.put("a", {"x": np.arange(5), "name": "a"})
+        w.put("b", {"x": np.ones((3, 3)), "name": "b"})
+    assert recordstore.exists(path)
+    rs = recordstore.RecordStore(path)
+    assert len(rs) == 2
+    np.testing.assert_array_equal(rs.get("a")["x"], np.arange(5))
+    assert rs[1]["name"] == "b"
+
+
+def test_dataset_build_and_load(tmp_path, rng):
+    # Build a mini PepMerge-style structure dir from synthetic complexes.
+    structure_dir = tmp_path / "structures"
+    for i in range(3):
+        item = make_complex(rng, pep_len=6 + i, rec_len=15)
+        cdir = structure_dir / f"complex_{i}"
+        os.makedirs(cdir)
+        pep_sel = item["generate_mask"]
+        rec_sel = ~pep_sel
+
+        def subset(sel):
+            return {
+                k: (v[sel] if isinstance(v, np.ndarray) else [x for x, s in zip(v, sel) if s])
+                for k, v in item.items()
+                if k not in ("id", "generate_mask", "torsion_angle", "torsion_angle_mask")
+            }
+
+        save_pdb(subset(pep_sel), str(cdir / "peptide.pdb"))
+        save_pdb(subset(rec_sel), str(cdir / "pocket.pdb"))
+
+    from pepflowww_tpu.data.dataset import DataLoader, PepDataset
+
+    ds = PepDataset(str(structure_dir), str(tmp_path / "cache"), name="mini", n_jobs=1)
+    assert len(ds) == 3
+    item = ds[0]
+    assert item["generate_mask"].sum() >= 6
+    assert item["torsion_angle"].shape[-1] == 5
+    # Peptide CA centroid is at the origin (pep_dataloader.py:50-51).
+    pep_ca = item["pos_heavyatom"][item["generate_mask"], C.BBHeavyAtom.CA]
+    np.testing.assert_allclose(pep_ca.mean(axis=0), np.zeros(3), atol=1e-3)
+
+    loader = DataLoader(ds, batch_size=2, shuffle=True, seed=0)
+    batch = next(iter(loader))
+    assert batch["aa"].shape[0] == 2
+
+
+def test_dataset_exclusion(tmp_path, rng):
+    structure_dir = tmp_path / "structures"
+    for i in range(2):
+        item = make_complex(rng, pep_len=6, rec_len=12)
+        cdir = structure_dir / f"cx_{i}"
+        os.makedirs(cdir)
+        sel = item["generate_mask"]
+
+        def subset(s):
+            return {
+                k: (v[s] if isinstance(v, np.ndarray) else [x for x, ss in zip(v, s) if ss])
+                for k, v in item.items()
+                if k not in ("id", "generate_mask", "torsion_angle", "torsion_angle_mask")
+            }
+
+        save_pdb(subset(sel), str(cdir / "peptide.pdb"))
+        save_pdb(subset(~sel), str(cdir / "pocket.pdb"))
+    names = tmp_path / "names.txt"
+    names.write_text("cx_0\n")
+    from pepflowww_tpu.data.dataset import PepDataset
+
+    ds = PepDataset(str(structure_dir), str(tmp_path / "cache2"), name="mini2",
+                    exclude_names_file=str(names), n_jobs=1)
+    assert len(ds) == 1 and ds.ids == ["cx_1"]

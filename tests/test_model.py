@@ -1,0 +1,141 @@
+"""Model-level tests: init, loss, leakage invariance, sampler semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pepflowww_tpu.data.synthetic import make_batch
+from pepflowww_tpu.data.collate import device_batch
+from pepflowww_tpu.models.flow import FlowModel, FlowModelConfig
+from pepflowww_tpu.models.trunk import IPAConfig
+from pepflowww_tpu import sampling
+
+
+def small_config():
+    return FlowModelConfig(
+        ipa=IPAConfig(
+            c_s=128, c_z=64, c_hidden=32, no_heads=4, no_qk_points=4,
+            no_v_points=6, seq_tfmr_num_heads=4, seq_tfmr_num_layers=1,
+            num_blocks=2,
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    batch = device_batch(make_batch(rng, batch_size=2, pep_len=5, rec_len=11, pad_to=16))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = FlowModel(small_config())
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "corruption": jax.random.PRNGKey(1)},
+        batch,
+    )["params"]
+    return model, params, batch
+
+
+def test_loss_runs_and_finite(setup):
+    model, params, batch = setup
+    losses = model.apply(
+        {"params": params}, batch, rngs={"corruption": jax.random.PRNGKey(2)}
+    )
+    assert set(losses) == {
+        "trans_loss", "rot_loss", "bb_atom_loss", "seqs_loss", "angle_loss",
+        "torsion_loss",
+    }
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), f"{k} not finite"
+
+
+def test_loss_grad_finite(setup):
+    model, params, batch = setup
+
+    def total(p):
+        l = model.apply({"params": p}, batch, rngs={"corruption": jax.random.PRNGKey(3)})
+        return sum(l.values())
+
+    g = jax.grad(total)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    bad = {
+        "/".join(str(p.key) if hasattr(p, "key") else str(p) for p in path): int(
+            (~np.isfinite(np.asarray(x))).sum()
+        )
+        for path, x in jax.tree_util.tree_leaves_with_path(g)
+        if not np.all(np.isfinite(np.asarray(x)))
+    }
+    assert not bad, f"non-finite grads in: {bad}"
+    # Gradients reach the embedders and the trunk.
+    flat = {"/".join(str(p) for p in path): x for path, x in
+            jax.tree_util.tree_leaves_with_path(g)}
+    assert any("node_embedder" in k for k in flat)
+    assert any(np.abs(np.asarray(v)).sum() > 0 for k, v in flat.items() if "ga_encoder" in k)
+
+
+def test_encode_no_leakage(setup):
+    """Featurizers must be invariant to generated-region content."""
+    model, params, batch = setup
+    out1 = model.apply({"params": params}, batch, method="encode")
+
+    corrupted = dict(batch)
+    gen = batch["generate_mask"]
+    rng = np.random.default_rng(0)
+    noise = jnp.asarray(rng.normal(size=batch["pos_heavyatom"].shape).astype(np.float32)) * 5.0
+    corrupted["pos_heavyatom"] = jnp.where(
+        gen[..., None, None], batch["pos_heavyatom"] + noise, batch["pos_heavyatom"]
+    )
+    corrupted["aa"] = jnp.where(gen, (batch["aa"] + 7) % 20, batch["aa"])
+    corrupted["torsion_angle"] = jnp.where(
+        gen[..., None], 0.5, batch["torsion_angle"]
+    )
+    out2 = model.apply({"params": params}, corrupted, method="encode")
+
+    node1, node2 = out1[4], out2[4]
+    edge1, edge2 = out1[5], out2[5]
+    np.testing.assert_allclose(np.asarray(node1), np.asarray(node2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(edge1), np.asarray(edge2), atol=1e-5)
+
+
+def test_sampler_shapes_and_context(setup):
+    model, params, batch = setup
+    out = sampling.euler_sample(
+        model, params, batch, jax.random.PRNGKey(0), num_steps=4
+    )
+    B, L = batch["aa"].shape
+    assert out["rotmats"].shape == (B, L, 3, 3)
+    assert out["trans"].shape == (B, L, 3)
+    assert out["angles"].shape == (B, L, 5)
+    assert out["seqs"].shape == (B, L)
+
+    ctx = ~np.asarray(batch["generate_mask"])
+    np.testing.assert_allclose(
+        np.asarray(out["trans"])[ctx], np.asarray(out["trans_1"])[ctx], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["rotmats"])[ctx], np.asarray(out["rotmats_1"])[ctx], atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["seqs"])[ctx], np.asarray(out["seqs_1"])[ctx]
+    )
+    # Generated angles obey the chemical validity table of the final sequence.
+    from pepflowww_tpu.ops.allatom import torsions_mask_for
+
+    tm = np.asarray(torsions_mask_for(out["seqs"])) > 0.5
+    ang = np.asarray(out["angles"])
+    gen = np.asarray(batch["generate_mask"])
+    assert np.all(ang[gen][~tm[gen]] == 0.0)
+
+
+def test_sampler_traj(setup):
+    model, params, batch = setup
+    out = sampling.euler_sample(
+        model, params, batch, jax.random.PRNGKey(0), num_steps=4, return_traj=True
+    )
+    assert out["traj"]["trans"].shape[0] == 3  # num_steps - 1 scan outputs
+
+
+def test_sampler_jit(setup):
+    model, params, batch = setup
+    fn = sampling.make_sampler(model, num_steps=3)
+    out = fn(params, batch, jax.random.PRNGKey(0))
+    assert np.all(np.isfinite(np.asarray(out["trans"])))

@@ -1,0 +1,138 @@
+"""Training-step tests: loss decreases, DP sharding, checkpoint round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pepflowww_tpu.data.collate import device_batch
+from pepflowww_tpu.data.synthetic import make_batch
+from pepflowww_tpu.models.flow import FlowModel, FlowModelConfig
+from pepflowww_tpu.models.trunk import IPAConfig
+from pepflowww_tpu.training.optim import PlateauScheduler, make_optimizer, sum_weighted_losses
+from pepflowww_tpu.training.train_step import make_dp_train_step, make_train_step
+
+WEIGHTS = {"trans_loss": 0.5, "rot_loss": 0.5, "bb_atom_loss": 0.25,
+           "seqs_loss": 1.0, "angle_loss": 1.0, "torsion_loss": 0.5}
+
+
+def tiny():
+    cfg = FlowModelConfig(
+        ipa=IPAConfig(c_s=32, c_z=16, c_hidden=8, no_heads=2, no_qk_points=2,
+                      no_v_points=3, seq_tfmr_num_heads=2, seq_tfmr_num_layers=1,
+                      num_blocks=1)
+    )
+    rng = np.random.default_rng(1)
+    batch = device_batch(make_batch(rng, batch_size=8, pep_len=4, rec_len=8, pad_to=16))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = FlowModel(cfg)
+    params = model.init(
+        {"params": jax.random.PRNGKey(0), "corruption": jax.random.PRNGKey(1)}, batch
+    )["params"]
+    return model, params, batch
+
+
+def test_train_step_reduces_loss():
+    model, params, batch = tiny()
+    tx = make_optimizer({"type": "adam", "lr": 1e-3}, 100.0)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, WEIGHTS, donate=False)
+    # Fixed corruption key -> deterministic objective; 30 Adam steps on the
+    # same batch must reduce it.
+    k = jax.random.PRNGKey(0)
+    first = None
+    metrics = None
+    for i in range(30):
+        params, opt_state, metrics = step(params, opt_state, batch, k)
+        if first is None:
+            first = float(metrics["loss"])
+    last = float(metrics["loss"])
+    assert np.isfinite(last)
+    assert last < first, f"loss did not decrease: {first} -> {last}"
+
+
+def test_dp_train_step_multidevice():
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    from pepflowww_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    model, params, batch = tiny()
+    mesh = make_mesh()
+    tx = make_optimizer({"type": "adam", "lr": 1e-3}, 100.0)
+    opt_state = tx.init(params)
+    params = replicate(params, mesh)
+    opt_state = replicate(opt_state, mesh)
+    batch = shard_batch(batch, mesh)
+    step = make_dp_train_step(model, tx, WEIGHTS, mesh)
+    params, opt_state, metrics = step(params, opt_state, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_dp_matches_single_device():
+    """The sharded step must compute the same update as the single-chip step."""
+    from pepflowww_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    model, params, batch = tiny()
+    tx = make_optimizer({"type": "adam", "lr": 1e-3}, 100.0)
+    opt0 = tx.init(params)
+
+    key = jax.random.PRNGKey(7)
+    single = make_train_step(model, tx, WEIGHTS, donate=False)
+    p1, _, m1 = single(params, opt0, batch, key)
+
+    mesh = make_mesh()
+    dp = make_dp_train_step(model, tx, WEIGHTS, mesh)
+    p2, _, m2 = dp(replicate(params, mesh), replicate(opt0, mesh), shard_batch(batch, mesh), key)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(p1)
+    l2 = jax.tree_util.tree_leaves(p2)
+    for a, b in zip(l1, l2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_plateau_scheduler():
+    s = PlateauScheduler(factor=0.5, patience=2, min_lr=1e-5)
+    lr = 1e-3
+    for _ in range(3):
+        lr = s.step(1.0, lr)
+    assert lr == 1e-3  # first call sets best, then 2 bad -> not yet > patience
+    lr = s.step(1.0, lr)
+    assert lr == 5e-4  # 3rd bad epoch trips it
+    for _ in range(20):
+        lr = s.step(1.0, lr)
+    assert lr >= 1e-5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from pepflowww_tpu.training import checkpoints as ckpt
+
+    model, params, batch = tiny()
+    tx = make_optimizer({"type": "adam", "lr": 1e-3}, 100.0)
+    opt_state = tx.init(params)
+    sched = PlateauScheduler()
+    path = ckpt.save_checkpoint(str(tmp_path / "ckpts"), 42, params, opt_state,
+                                sched.state_dict())
+    assert ckpt.latest_checkpoint(str(tmp_path / "ckpts")) == path
+    restored = ckpt.restore_checkpoint(
+        path, {"params": params, "opt_state": opt_state,
+               "scheduler": sched.state_dict(), "iteration": 0}
+    )
+    assert int(restored["iteration"]) == 42
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored["params"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_nan_rescue():
+    """A poisoned batch must not produce NaN params (train.py:125-139 semantics)."""
+    model, params, batch = tiny()
+    bad = dict(batch)
+    bad["pos_heavyatom"] = batch["pos_heavyatom"].at[0].set(jnp.nan)
+    tx = make_optimizer({"type": "adam", "lr": 1e-3}, 100.0)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, WEIGHTS, donate=False)
+    params, opt_state, metrics = step(params, opt_state, bad, jax.random.PRNGKey(0))
+    assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(params))
