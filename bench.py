@@ -51,18 +51,18 @@ def bench_ours() -> float:
 
     model = FlowModel(FlowModelConfig())
     key = jax.random.PRNGKey(0)
-    params = model.init({"params": key, "corruption": key}, batch)["params"]
+    params = jax.jit(model.init)({"params": key, "corruption": key}, batch)["params"]
 
     fn = sampling.make_sampler(model, num_steps=NUM_STEPS)
-    # warmup/compile
-    out = fn(params, batch, jax.random.PRNGKey(1))
-    jax.block_until_ready(out["trans"])
+    # warmup/compile; force a device->host fetch (block_until_ready alone does
+    # not reliably synchronize on the remote-TPU axon platform)
+    np.asarray(fn(params, batch, jax.random.PRNGKey(1))["trans"])
 
     reps = 3
     t0 = time.perf_counter()
     for i in range(reps):
         out = fn(params, batch, jax.random.PRNGKey(2 + i))
-    jax.block_until_ready(out["trans"])
+        np.asarray(out["trans"])  # sync: (64, 64, 3) copy, negligible
     dt = (time.perf_counter() - t0) / reps
     return BATCH / dt
 
@@ -78,53 +78,10 @@ def bench_reference_torch_cpu() -> float | None:
     if not os.path.isdir("/root/reference"):
         return None
     try:
-        import types
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import ref_stubs
 
-        sys.path.insert(0, "/root/reference")
-        # Stub optional deps absent from this image before reference imports.
-        for name in ["Bio", "Bio.PDB", "Bio.PDB.Chain", "Bio.PDB.PDBExceptions",
-                     "Bio.PDB.Residue", "Bio.PDB.PDBParser", "Bio.PDB.MMCIFParser",
-                     "Bio.PDB.StructureBuilder", "Bio.SeqUtils"]:
-            sys.modules.setdefault(name, types.ModuleType(name))
-        sys.modules["Bio.PDB"].PDBParser = object
-        sys.modules["Bio.PDB"].MMCIFParser = object
-        sys.modules["Bio.PDB"].Selection = object
-        sys.modules["Bio.PDB"].PDBIO = object
-        sys.modules["Bio.PDB"].StructureBuilder = object
-        sys.modules["Bio.PDB"].PDBExceptions = sys.modules["Bio.PDB.PDBExceptions"]
-        sys.modules["Bio.PDB.PDBExceptions"].PDBExceptions = object
-
-        class _PDBConstructionException(Exception):
-            pass
-
-        sys.modules["Bio.PDB.PDBExceptions"].PDBConstructionException = _PDBConstructionException
-        sys.modules["Bio.PDB.Chain"].Chain = object
-        sys.modules["Bio.PDB.Residue"].Residue = object
-        sys.modules["Bio.PDB.StructureBuilder"].StructureBuilder = object
-        sys.modules["Bio.SeqUtils"].seq1 = lambda x: x
-        sys.modules["Bio"].BiopythonWarning = Warning
-        sys.modules["Bio"].PDB = sys.modules["Bio.PDB"]
-        for extra in ["torch_scatter", "lmdb", "joblib", "easydict", "wandb",
-                      "omegaconf", "tqdm", "tqdm.auto"]:
-            if extra not in sys.modules:
-                try:
-                    __import__(extra)
-                except ImportError:
-                    m = types.ModuleType(extra)
-                    sys.modules[extra] = m
-        if not hasattr(sys.modules.get("easydict", None), "EasyDict"):
-            sys.modules["easydict"].EasyDict = dict
-        if not hasattr(sys.modules.get("omegaconf", None), "OmegaConf"):
-            sys.modules["omegaconf"].OmegaConf = object
-        for tq in ["tqdm", "tqdm.auto"]:
-            if not hasattr(sys.modules[tq], "tqdm"):
-                sys.modules[tq].tqdm = lambda x, **kw: x
-        if not hasattr(sys.modules.get("torch_scatter", object), "scatter_add"):
-            sys.modules["torch_scatter"].scatter_add = None
-            sys.modules["torch_scatter"].scatter = None
-        if not hasattr(sys.modules.get("wandb", object), "init"):
-            sys.modules["wandb"].init = lambda **kw: None
-            sys.modules["wandb"].log = lambda *a, **kw: None
+        ref_stubs.install()
 
         import torch
 
@@ -162,14 +119,19 @@ def bench_reference_torch_cpu() -> float | None:
                     t = t.long()
                 tb[k] = t
 
+        # The reference ODE's per-step cost is constant; measure a 10-step run
+        # and scale to the 100-step workload so the baseline finishes in
+        # minutes on CPU rather than an hour.
+        ref_steps = 10
         with torch.no_grad():
             t0 = time.perf_counter()
-            model.sample(tb, num_steps=NUM_STEPS)
+            model.sample(tb, num_steps=ref_steps)
             dt = time.perf_counter() - t0
-        pps = BATCH / dt
+        pps = BATCH / (dt * (NUM_STEPS / ref_steps))
         with open(BASELINE_CACHE, "w") as f:
             json.dump({"reference_torch_cpu_peptides_per_sec": pps,
-                       "note": "reference FlowModel.sample, torch CPU, B=64 L=64 100 steps"}, f)
+                       "note": ("reference FlowModel.sample, torch CPU, B=64 L=64; "
+                                f"measured at {ref_steps} steps, scaled to {NUM_STEPS}")}, f)
         return pps
     except Exception as e:  # reference not runnable here — record why
         print(f"# reference baseline unavailable: {e.__class__.__name__}: {e}", file=sys.stderr)

@@ -31,11 +31,18 @@ logger = logging.getLogger(__name__)
 
 
 def _torsions(pos15: np.ndarray, aa: np.ndarray):
-    from pepflowww_tpu.ops import allatom
+    import jax
     import jax.numpy as jnp
 
-    tor, mask = allatom.get_torsion_angles(jnp.asarray(pos15)[None], jnp.asarray(aa)[None])
-    return np.asarray(tor)[0].astype(np.float32), np.asarray(mask)[0]
+    from pepflowww_tpu.ops import allatom
+
+    # Preprocessing is host-side work: pin to the CPU backend so it never
+    # round-trips the accelerator.
+    with jax.default_device(jax.local_devices(backend="cpu")[0]):
+        tor, mask = jax.jit(allatom.get_torsion_angles)(
+            jnp.asarray(pos15)[None], jnp.asarray(aa)[None]
+        )
+        return np.asarray(tor)[0].astype(np.float32), np.asarray(mask)[0]
 
 
 def preprocess_structure(task: dict, exclude: Sequence[str] = ()) -> Optional[dict]:

@@ -66,6 +66,20 @@ class RecordStore:
         offset, length = self._index[key]
         return pickle.loads(zlib.decompress(self._mm[offset : offset + length]))
 
+    def get_many(self, keys) -> list:
+        """Batched fetch; decompression fans out over the native thread pool
+        (pepflowww_tpu/native) when the C++ library is available."""
+        from pepflowww_tpu import native
+
+        blobs = []
+        for key in keys:
+            offset, length = self._index[key]
+            blobs.append(self._mm[offset : offset + length])
+        # zlib streams don't carry the raw size; use a generous cap per blob.
+        caps = [max(16 * len(b), 1 << 16) for b in blobs]
+        raws = native.decompress_batch(blobs, caps)
+        return [pickle.loads(r) for r in raws]
+
     def __getitem__(self, i: int):
         return self.get(self._keys[i])
 

@@ -31,15 +31,25 @@ def _random_rotmats(rng: np.random.Generator, shape):
     return R.astype(np.float32)
 
 
+def _cpu_device():
+    import jax
+
+    return jax.local_devices(backend="cpu")[0]
+
+
 def _build_pos15(aa: np.ndarray, R: np.ndarray, t: np.ndarray, angles: np.ndarray):
-    """Full-atom positions via the JAX reconstruction (host-side convenience)."""
+    """Full-atom positions via the JAX reconstruction, pinned to the host CPU
+    backend (data generation must never round-trip the TPU tunnel)."""
+    import jax
     import jax.numpy as jnp
     from pepflowww_tpu.ops import allatom
 
-    pos14, _, _ = allatom.full_atom_reconstruction(
-        jnp.asarray(R)[None], jnp.asarray(t)[None], jnp.asarray(angles)[None], jnp.asarray(aa)[None]
-    )
-    pos15 = np.asarray(allatom.full_atom_to_pos15(pos14))[0]
+    with jax.default_device(_cpu_device()):
+        pos14, _, _ = jax.jit(allatom.full_atom_reconstruction)(
+            jnp.asarray(R)[None], jnp.asarray(t)[None], jnp.asarray(angles)[None],
+            jnp.asarray(aa)[None],
+        )
+        pos15 = np.asarray(allatom.full_atom_to_pos15(pos14))[0]
     return pos15.astype(np.float32)
 
 
@@ -72,12 +82,16 @@ def make_complex(
 
     # Torsion re-extraction from coordinates (matches preprocessing order:
     # angles computed after centering, pep_dataloader.py:52).
+    import jax
     import jax.numpy as jnp
     from pepflowww_tpu.ops import allatom
 
-    tor, tor_mask = allatom.get_torsion_angles(jnp.asarray(pos15)[None], jnp.asarray(aa)[None])
-    tor = np.asarray(tor)[0].astype(np.float32)
-    tor_mask = np.asarray(tor_mask)[0]
+    with jax.default_device(_cpu_device()):
+        tor, tor_mask = jax.jit(allatom.get_torsion_angles)(
+            jnp.asarray(pos15)[None], jnp.asarray(aa)[None]
+        )
+        tor = np.asarray(tor)[0].astype(np.float32)
+        tor_mask = np.asarray(tor_mask)[0]
 
     chain_nb = np.concatenate(
         [np.ones(rec_len, dtype=np.int64), np.zeros(pep_len, dtype=np.int64)]

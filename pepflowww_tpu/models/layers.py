@@ -120,6 +120,64 @@ def get_time_embedding(timesteps: jax.Array, embedding_dim: int, max_positions: 
     return emb
 
 
+class PositionalEncoding(nn.Module):
+    """NeRF-style positional code with powers-of-two bands (layers.py:70-89)."""
+
+    num_funcs: int = 6
+
+    def get_out_dim(self, in_dim: int) -> int:
+        return in_dim * (2 * self.num_funcs + 1)
+
+    @nn.compact
+    def __call__(self, x):
+        freqs = 2.0 ** jnp.linspace(0.0, self.num_funcs - 1, self.num_funcs).astype(x.dtype)
+        xe = x[..., None]
+        code = jnp.concatenate([xe, jnp.sin(xe * freqs), jnp.cos(xe * freqs)], axis=-1)
+        return code.reshape(x.shape[:-1] + (-1,))
+
+
+class DistanceToBins(nn.Module):
+    """Soft/one-hot distance binning (layers.py:24-67)."""
+
+    dist_min: float = 0.0
+    dist_max: float = 20.0
+    num_bins: int = 64
+    use_onehot: bool = False
+
+    @property
+    def out_channels(self) -> int:
+        return self.num_bins
+
+    @nn.compact
+    def __call__(self, dist, axis: int = -1, normalize: bool = True):
+        if self.use_onehot:
+            # Hard assignment to the nearest bin center. Assumes the binning
+            # axis is the last one (the only way the reference is called).
+            assert axis in (-1, dist.ndim - 1)
+            offset = jnp.linspace(self.dist_min, self.dist_max, self.num_bins)
+            diff = jnp.abs(dist - offset)
+            bin_idx = jnp.argmin(diff, axis=-1)
+            return jax.nn.one_hot(bin_idx, self.num_bins, dtype=dist.dtype)
+        offset = jnp.linspace(self.dist_min, self.dist_max, self.num_bins - 1)
+        coeff = -0.5 / (((offset[1] - offset[0]) * 0.2) ** 2)
+        shape = [1] * dist.ndim
+        shape[axis] = -1
+        overflow = (dist >= self.dist_max).astype(dist.dtype)
+        y = jnp.exp(coeff * jnp.square(dist - offset.reshape(shape)))
+        y = jnp.concatenate([y, overflow], axis=axis)
+        if normalize:
+            y = y / jnp.sum(y, axis=axis, keepdims=True)
+        return y
+
+
+def calc_distogram(pos: jax.Array, min_bin: float, max_bin: float, num_bins: int):
+    """Binary distogram features (models_con/utils.py:26-36)."""
+    d = jnp.linalg.norm(pos[:, :, None, :] - pos[:, None, :, :], axis=-1)[..., None]
+    lower = jnp.linspace(min_bin, max_bin, num_bins)
+    upper = jnp.concatenate([lower[1:], jnp.asarray([1e8])])
+    return ((d > lower) * (d < upper)).astype(pos.dtype)
+
+
 def get_index_embedding(indices: jax.Array, embed_size: int, max_len: int = 2056):
     """Sin/cos positional embedding of integer offsets (models_con/utils.py:39-57)."""
     K = jnp.arange(embed_size // 2, dtype=jnp.float32)

@@ -73,7 +73,7 @@ def main():
     example = device_batch(pad_and_collate(replicate_item(items[0], 2)))
     example = {k: jnp.asarray(v) for k, v in example.items()}
     key = jax.random.PRNGKey(args.seed)
-    params = model.init({"params": key, "corruption": key}, example)["params"]
+    params = jax.jit(model.init)({"params": key, "corruption": key}, example)["params"]
     if args.torch_ckpt:
         from pepflowww_tpu.convert import load_torch_checkpoint
 

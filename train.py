@@ -103,7 +103,11 @@ def main():
 
     first_batch = {k: jnp.asarray(v) for k, v in first_batch.items() if not isinstance(v, list)}
     init_key = jax.random.PRNGKey(train_cfg["seed"])
-    params = model.init({"params": init_key, "corruption": init_key}, first_batch)["params"]
+    # jit the init: eager flax init dispatches thousands of tiny ops, which is
+    # pathological over a remote-TPU tunnel; one compiled program instead.
+    params = jax.jit(model.init)(
+        {"params": init_key, "corruption": init_key}, first_batch
+    )["params"]
     logger.info("Number of parameters: %d", misc.count_parameters(params))
 
     tx = make_optimizer(train_cfg["optimizer"], train_cfg["max_grad_norm"])
