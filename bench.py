@@ -49,7 +49,11 @@ def bench_ours() -> float:
     )
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
 
-    model = FlowModel(FlowModelConfig())
+    from pepflowww_tpu.models.trunk import IPAConfig
+
+    # Production TPU path: bf16 matmuls (fp32 params/geometry/softmax);
+    # numerics validated against fp32 in tests/test_bf16.py.
+    model = FlowModel(FlowModelConfig(ipa=IPAConfig(dtype="bfloat16")))
     key = jax.random.PRNGKey(0)
     params = jax.jit(model.init)({"params": key, "corruption": key}, batch)["params"]
 

@@ -31,6 +31,7 @@ class NodeEmbedder(nn.Module):
     feat_dim: int
     max_num_atoms: int = C.MAX_NUM_HEAVYATOMS
     max_aa_types: int = C.MAX_AA_TYPES
+    dtype: object = None
 
     @nn.compact
     def __call__(self, aa, res_nb, chain_nb, pos_atoms, mask_atoms,
@@ -87,9 +88,10 @@ class NodeEmbedder(nn.Module):
             )
             dihed_feat = dihed_feat * dihed_mask[:, :, None]
 
-        out = MLP((self.feat_dim * 2, self.feat_dim, self.feat_dim, self.feat_dim))(
+        out = MLP((self.feat_dim * 2, self.feat_dim, self.feat_dim, self.feat_dim),
+                  dtype=self.dtype)(
             jnp.concatenate([aa_feat, crd_feat, dihed_feat], axis=-1)
-        )
+        ).astype(jnp.float32)
         return out * mask_residue[:, :, None]
 
 
@@ -100,6 +102,7 @@ class EdgeEmbedder(nn.Module):
     max_num_atoms: int = C.MAX_NUM_HEAVYATOMS
     max_aa_types: int = C.MAX_AA_TYPES
     max_relpos: int = 32
+    dtype: object = None
 
     @nn.compact
     def __call__(self, aa, res_nb, chain_nb, pos_atoms, mask_atoms,
@@ -151,7 +154,8 @@ class EdgeEmbedder(nn.Module):
             mask_atoms[:, :, None, :, None] * mask_atoms[:, None, :, None, :]
         ).reshape(N, L, L, A * A)
         feat_dist = MLP((self.feat_dim, self.feat_dim), final_activation=True,
-                        name="distance_embed")(d_gauss * mask_atom_pair)
+                        dtype=self.dtype, name="distance_embed")(d_gauss * mask_atom_pair)
+        feat_dist = feat_dist.astype(jnp.float32)
         if pair_structure_mask is not None:
             feat_dist = feat_dist * pair_structure_mask[..., None]
 
@@ -164,5 +168,6 @@ class EdgeEmbedder(nn.Module):
         feat_all = jnp.concatenate(
             [feat_aapair, feat_relpos, feat_dist, feat_dihed], axis=-1
         )
-        feat_all = MLP((self.feat_dim, self.feat_dim, self.feat_dim), name="out_mlp")(feat_all)
+        feat_all = MLP((self.feat_dim, self.feat_dim, self.feat_dim),
+                       dtype=self.dtype, name="out_mlp")(feat_all).astype(jnp.float32)
         return feat_all * mask_pair[..., None]

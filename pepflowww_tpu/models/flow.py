@@ -58,8 +58,9 @@ class FlowModel(nn.Module):
     cfg: FlowModelConfig
 
     def setup(self):
-        self.node_embedder = NodeEmbedder(self.cfg.node_embed_size)
-        self.edge_embedder = EdgeEmbedder(self.cfg.edge_embed_size)
+        cdt = self.cfg.ipa.compute_dtype
+        self.node_embedder = NodeEmbedder(self.cfg.node_embed_size, dtype=cdt)
+        self.edge_embedder = EdgeEmbedder(self.cfg.edge_embed_size, dtype=cdt)
         self.ga_encoder = GAEncoder(self.cfg.ipa)
 
     # ------------------------------------------------------------------

@@ -10,36 +10,96 @@ TPU-first re-implementation of the reference trunk components
 * BackboneUpdate 6-D update head (:544-571)
 * a torch-compatible post-LN TransformerEncoder (ga.py:52-62)
 
-All attention math is expressed as batched einsums over static shapes so XLA
-tiles it onto the MXU; the point attention uses the ||q||²+||k||²-2qk expansion
-rather than materializing the (B, L, L, H, P, 3) displacement tensor the
-reference builds (ipa_pytorch.py:407), cutting the dominant HBM traffic.
+Performance notes:
+* All attention math is batched einsums over static shapes (MXU-tiled).
+* Point attention uses the ||q||²+||k||²-2qk expansion instead of
+  materializing the reference's (B, L, L, H, P, 3) displacement tensor
+  (ipa_pytorch.py:407) — the dominant HBM traffic in the block.
+* `dtype=bfloat16` runs every large matmul in bf16 with fp32 accumulation
+  (params stay fp32); frame geometry, softmax logits, and layer norms stay
+  fp32.
+* EdgeTransition's first layer is computed factorized: the kernel slices for
+  the two broadcast node-bias blocks multiply (B, L, c) activations instead
+  of the (B, L, L, 2c) concat — ~2/3 fewer L² FLOPs in that layer with
+  bit-identical parameters (residual and later layers unchanged).
 """
 
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Any, Optional
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from pepflowww_tpu.models.layers import Linear
+from pepflowww_tpu.models.layers import INITIALIZERS, Linear
 from pepflowww_tpu.ops import frames
+
+Dtype = Any
 
 
 class StructureModuleTransition(nn.Module):
     c: int
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, s):
         s_initial = s
-        s = nn.relu(Linear(self.c, init="relu")(s))
-        s = nn.relu(Linear(self.c, init="relu")(s))
-        s = Linear(self.c, init="final")(s)
-        s = s + s_initial
+        s = nn.relu(Linear(self.c, init="relu", dtype=self.dtype)(s))
+        s = nn.relu(Linear(self.c, init="relu", dtype=self.dtype)(s))
+        s = Linear(self.c, init="final", dtype=self.dtype)(s)
+        s = (s + s_initial).astype(jnp.float32)
         return nn.LayerNorm()(s)
+
+
+class _DenseParams(nn.Module):
+    """Bare kernel/bias container named like a Dense so the parameter tree
+    (`.../Dense_0/{kernel,bias}`) matches the non-factorized layout."""
+
+    features: int
+    in_features: int
+    init: str = "relu"
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", INITIALIZERS[self.init], (self.in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
+class _FactorizedConcatDense(nn.Module):
+    """Dense over cat([edge, node_i, node_j], -1) without building the concat.
+
+    y[b,i,j] = edge[b,i,j] @ W_e  +  node[b,i] @ W_i  +  node[b,j] @ W_j  + b
+    with [W_e; W_i; W_j] the row-slices of one (c_e + 2c_n, F) kernel.
+    """
+
+    features: int
+    c_edge: int
+    c_bias: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, edge, node):
+        kernel, bias = _DenseParams(
+            self.features, self.c_edge + 2 * self.c_bias, init="relu", name="Dense_0"
+        )()
+        cdt = self.dtype or kernel.dtype
+        k = kernel.astype(cdt)
+        y_edge = jnp.einsum(
+            "bijc,cf->bijf", edge.astype(cdt), k[: self.c_edge],
+            preferred_element_type=cdt,
+        )
+        y_i = jnp.einsum(
+            "bic,cf->bif", node.astype(cdt), k[self.c_edge : self.c_edge + self.c_bias]
+        )
+        y_j = jnp.einsum(
+            "bjc,cf->bjf", node.astype(cdt), k[self.c_edge + self.c_bias :]
+        )
+        return y_edge + y_i[:, :, None, :] + y_j[:, None, :, :] + bias.astype(cdt)
 
 
 class EdgeTransition(nn.Module):
@@ -48,36 +108,55 @@ class EdgeTransition(nn.Module):
     edge_embed_out: int
     num_layers: int = 2
     node_dilation: int = 2
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, node_embed, edge_embed):
         bias_embed_size = self.node_embed_size // self.node_dilation
-        node_embed = Linear(bias_embed_size, init="relu")(node_embed)
-        B, L, _ = node_embed.shape
-        edge_bias = jnp.concatenate(
+        node_bias = Linear(bias_embed_size, init="relu", dtype=self.dtype,
+                           name="Linear_0")(node_embed)
+        B, L, _ = node_bias.shape
+        hidden_size = bias_embed_size * 2 + self.edge_embed_in
+
+        x = nn.relu(
+            _FactorizedConcatDense(
+                hidden_size, self.edge_embed_in, bias_embed_size,
+                dtype=self.dtype, name="Linear_1",
+            )(edge_embed, node_bias)
+        )
+        for i in range(1, self.num_layers):
+            x = nn.relu(Linear(hidden_size, init="relu", dtype=self.dtype,
+                               name=f"Linear_{i + 1}")(x))
+
+        # Residual adds the concatenated input (ipa_pytorch.py:240-243).
+        concat = jnp.concatenate(
             [
-                jnp.broadcast_to(node_embed[:, :, None, :], (B, L, L, bias_embed_size)),
-                jnp.broadcast_to(node_embed[:, None, :, :], (B, L, L, bias_embed_size)),
+                edge_embed.astype(x.dtype),
+                jnp.broadcast_to(node_bias[:, :, None, :].astype(x.dtype),
+                                 (B, L, L, bias_embed_size)),
+                jnp.broadcast_to(node_bias[:, None, :, :].astype(x.dtype),
+                                 (B, L, L, bias_embed_size)),
             ],
             axis=-1,
         )
-        hidden_size = bias_embed_size * 2 + self.edge_embed_in
-        edge_embed = jnp.concatenate([edge_embed, edge_bias], axis=-1)
-        x = edge_embed
-        for _ in range(self.num_layers):
-            x = nn.relu(Linear(hidden_size, init="relu")(x))
-        edge_embed = Linear(self.edge_embed_out, init="final")(x + edge_embed)
-        return nn.LayerNorm()(edge_embed)
+        edge_embed = Linear(self.edge_embed_out, init="final", dtype=self.dtype,
+                            name=f"Linear_{self.num_layers + 1}")(x + concat)
+        out = nn.LayerNorm(name="LayerNorm_0")(edge_embed.astype(jnp.float32))
+        # Keep the inter-block L² pair tensor in compute precision: it is the
+        # biggest recurring HBM load (read by linear_b/down_z and the next
+        # EdgeTransition every block); the LN statistics above stay fp32.
+        return out.astype(self.dtype) if self.dtype is not None else out
 
 
 class BackboneUpdate(nn.Module):
-    """6-D [(1,x,y,z) quat | translation] update head (ipa_pytorch.py:544-571)."""
+    """6-D [(1,x,y,z) quat | translation] update head (ipa_pytorch.py:544-571).
+    Kept fp32 — it feeds frame composition."""
 
     c_s: int
 
     @nn.compact
     def __call__(self, s):
-        return Linear(6, init="final")(s)
+        return Linear(6, init="final")(s.astype(jnp.float32))
 
 
 class InvariantPointAttention(nn.Module):
@@ -95,6 +174,7 @@ class InvariantPointAttention(nn.Module):
     no_v_points: int
     inf: float = 1e5
     eps: float = 1e-8
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, s, z, R, t, mask):
@@ -110,30 +190,31 @@ class InvariantPointAttention(nn.Module):
         B, L, _ = s.shape
         H, C = self.no_heads, self.c_hidden
         Pq, Pv = self.no_qk_points, self.no_v_points
+        dt = self.dtype
 
-        q = Linear(H * C, name="linear_q")(s).reshape(B, L, H, C)
-        kv = Linear(2 * H * C, name="linear_kv")(s).reshape(B, L, H, 2 * C)
+        q = Linear(H * C, name="linear_q", dtype=dt)(s).reshape(B, L, H, C)
+        kv = Linear(2 * H * C, name="linear_kv", dtype=dt)(s).reshape(B, L, H, 2 * C)
         k, v = kv[..., :C], kv[..., C:]
 
-        # Point q/k/v in global frame. The reference packs points as
-        # (..., H*P, 3) via a split-stack (ipa_pytorch.py:362-366): the layer
-        # output is [x-block | y-block | z-block], so reshape accordingly.
+        # Point q/k/v in the global frame — fp32 geometry. The reference packs
+        # points as [x-block | y-block | z-block] (ipa_pytorch.py:362-366).
         def to_points(x, P):
-            x = x.reshape(B, L, 3, H * P)            # [3 coord blocks, H*P each]
-            x = jnp.swapaxes(x, -1, -2)              # (B, L, H*P, 3)
+            x = x.astype(jnp.float32).reshape(B, L, 3, H * P)
+            x = jnp.swapaxes(x, -1, -2)  # (B, L, H*P, 3)
             return frames.local_to_global(R, t, x).reshape(B, L, H, P, 3)
 
-        q_pts = to_points(Linear(H * Pq * 3, name="linear_q_points")(s), Pq)
-        kv_pts_flat = Linear(H * (Pq + Pv) * 3, name="linear_kv_points")(s)
-        kv_pts = kv_pts_flat.reshape(B, L, 3, H * (Pq + Pv))
+        q_pts = to_points(Linear(H * Pq * 3, name="linear_q_points", dtype=dt)(s), Pq)
+        kv_pts_flat = Linear(H * (Pq + Pv) * 3, name="linear_kv_points", dtype=dt)(s)
+        kv_pts = kv_pts_flat.astype(jnp.float32).reshape(B, L, 3, H * (Pq + Pv))
         kv_pts = jnp.swapaxes(kv_pts, -1, -2)
         kv_pts = frames.local_to_global(R, t, kv_pts).reshape(B, L, H, Pq + Pv, 3)
         k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
 
-        # Scalar attention + pair bias.
-        b = Linear(H, name="linear_b")(z)  # (B, L, L, H)
-        a = jnp.einsum("bihc,bjhc->bhij", q, k) * math.sqrt(1.0 / (3 * C))
-        a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2))
+        # Scalar attention + pair bias (fp32 accumulation).
+        b = Linear(H, name="linear_b", dtype=dt)(z)  # (B, L, L, H)
+        a = jnp.einsum("bihc,bjhc->bhij", q, k,
+                       preferred_element_type=jnp.float32) * math.sqrt(1.0 / (3 * C))
+        a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2)).astype(jnp.float32)
 
         # Point attention: -w/2 * sum_p ||q_ip - k_jp||², via the square
         # expansion to avoid the (B, L, L, H, P, 3) intermediate.
@@ -144,35 +225,41 @@ class InvariantPointAttention(nn.Module):
                 (H,),
             )
         ) * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
-        q_sq = jnp.sum(jnp.square(q_pts), axis=-1)              # (B, L, H, P)
+        q_sq = jnp.sum(jnp.square(q_pts), axis=-1)  # (B, L, H, P)
         k_sq = jnp.sum(jnp.square(k_pts), axis=-1)
-        qk = jnp.einsum("bihpc,bjhpc->bhij", q_pts, k_pts)      # (B, H, L, L)
+        qk = jnp.einsum("bihpc,bjhpc->bhij", q_pts, k_pts,
+                        preferred_element_type=jnp.float32)
         pt_att = (
             jnp.sum(q_sq, axis=-1).transpose(0, 2, 1)[:, :, :, None]
             + jnp.sum(k_sq, axis=-1).transpose(0, 2, 1)[:, :, None, :]
             - 2.0 * qk
         )
-        # per-head weighting folds into the summed distance
         pt_att = pt_att * head_weights[None, :, None, None] * (-0.5)
 
         square_mask = self.inf * (mask[:, :, None] * mask[:, None, :] - 1.0)
         a = a + pt_att + square_mask[:, None, :, :]
         a = jax.nn.softmax(a, axis=-1)
+        a_c = a.astype(dt) if dt is not None else a
 
         # Outputs.
-        o = jnp.einsum("bhij,bjhc->bihc", a, v).reshape(B, L, H * C)
-        o_pt = jnp.einsum("bhij,bjhpc->bihpc", a, v_pts)        # (B, L, H, Pv, 3)
+        o = jnp.einsum("bhij,bjhc->bihc", a_c, v,
+                       preferred_element_type=jnp.float32).reshape(B, L, H * C)
+        o_pt = jnp.einsum("bhij,bjhpc->bihpc", a, v_pts)  # fp32 geometry
         o_pt = frames.global_to_local(R, t, o_pt.reshape(B, L, H * Pv, 3))
-        o_pt_norm = jnp.sqrt(jnp.sum(jnp.square(o_pt), axis=-1) + self.eps)  # (B, L, H*Pv)
+        o_pt_norm = jnp.sqrt(jnp.sum(jnp.square(o_pt), axis=-1) + self.eps)
 
-        pair_z = Linear(self.c_z // 4, name="down_z")(z)        # (B, L, L, c_z/4)
-        o_pair = jnp.einsum("bhij,bijd->bihd", a, pair_z).reshape(B, L, -1)
+        pair_z = Linear(self.c_z // 4, name="down_z", dtype=dt)(z)
+        o_pair = jnp.einsum("bhij,bijd->bihd", a_c, pair_z,
+                            preferred_element_type=jnp.float32).reshape(B, L, -1)
 
         # Concat layout matches the reference (ipa_pytorch.py:475): scalar out,
         # then the x/y/z coordinate blocks of o_pt, point norms, pair readout.
         o_pt_xyz = jnp.swapaxes(o_pt, -1, -2).reshape(B, L, 3 * H * Pv)
-        o_feats = jnp.concatenate([o, o_pt_xyz, o_pt_norm, o_pair], axis=-1)
-        return Linear(self.c_s, init="final", name="linear_out")(o_feats)
+        o_feats = jnp.concatenate(
+            [o.astype(jnp.float32), o_pt_xyz, o_pt_norm, o_pair.astype(jnp.float32)],
+            axis=-1,
+        )
+        return Linear(self.c_s, init="final", name="linear_out", dtype=dt)(o_feats)
 
 
 class TorchTransformerEncoderLayer(nn.Module):
@@ -182,44 +269,52 @@ class TorchTransformerEncoderLayer(nn.Module):
     d_model: int
     nhead: int
     dim_feedforward: int
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None):
         B, L, D = x.shape
         h = self.nhead
         hd = D // h
+        dt = self.dtype
 
-        qkv_kernel = nn.initializers.xavier_uniform()
-        qkv = nn.Dense(3 * D, kernel_init=qkv_kernel, name="in_proj")(x)
+        qkv = nn.Dense(3 * D, kernel_init=nn.initializers.xavier_uniform(),
+                       dtype=dt, name="in_proj")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(B, L, h, hd)
         k = k.reshape(B, L, h, hd)
         v = v.reshape(B, L, h, hd)
 
-        logits = jnp.einsum("bihd,bjhd->bhij", q, k) / math.sqrt(hd)
+        logits = jnp.einsum("bihd,bjhd->bhij", q, k,
+                            preferred_element_type=jnp.float32) / math.sqrt(hd)
         if key_padding_mask is not None:
             neg = jnp.asarray(-1e9, logits.dtype)
             logits = jnp.where(key_padding_mask[:, None, None, :], neg, logits)
         attn = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("bhij,bjhd->bihd", attn, v).reshape(B, L, D)
-        out = Linear(D, init="torch", name="out_proj")(out)
+        attn_c = attn.astype(dt) if dt is not None else attn
+        out = jnp.einsum("bhij,bjhd->bihd", attn_c, v,
+                         preferred_element_type=jnp.float32).reshape(B, L, D)
+        out = Linear(D, init="torch", name="out_proj", dtype=dt)(out)
 
-        x = nn.LayerNorm(name="norm1")(x + out)
-        ff = Linear(D, init="torch", name="linear2")(
-            nn.relu(Linear(self.dim_feedforward, init="torch", name="linear1")(x))
+        x = nn.LayerNorm(name="norm1")((x + out).astype(jnp.float32))
+        ff = Linear(D, init="torch", name="linear2", dtype=dt)(
+            nn.relu(Linear(self.dim_feedforward, init="torch", name="linear1",
+                           dtype=dt)(x))
         )
-        return nn.LayerNorm(name="norm2")(x + ff)
+        return nn.LayerNorm(name="norm2")((x + ff).astype(jnp.float32))
 
 
 class TorchTransformerEncoder(nn.Module):
     d_model: int
     nhead: int
     num_layers: int
+    dtype: Optional[Dtype] = None
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None):
         for i in range(self.num_layers):
             x = TorchTransformerEncoderLayer(
-                self.d_model, self.nhead, self.d_model, name=f"layers_{i}"
+                self.d_model, self.nhead, self.d_model, dtype=self.dtype,
+                name=f"layers_{i}",
             )(x, key_padding_mask)
         return x

@@ -28,7 +28,9 @@ from pepflowww_tpu.ops import frames
 
 @dataclasses.dataclass(frozen=True)
 class IPAConfig:
-    """Mirrors configs/learn_angle.yaml:5-15."""
+    """Mirrors configs/learn_angle.yaml:5-15. `dtype` selects the compute
+    precision of the heavy matmuls (None = fp32, "bfloat16" for TPU speed);
+    parameters, geometry, softmax and layer norms always stay fp32."""
 
     c_s: int = 128
     c_z: int = 64
@@ -39,6 +41,11 @@ class IPAConfig:
     seq_tfmr_num_heads: int = 4
     seq_tfmr_num_layers: int = 2
     num_blocks: int = 6
+    dtype: str | None = None
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype in ("bfloat16", "bf16") else None
 
 
 class GAEncoder(nn.Module):
@@ -64,25 +71,26 @@ class GAEncoder(nn.Module):
         t_embed = get_time_embedding(t[:, 0], cfg.c_s, max_positions=2056)
         t_embed = jnp.broadcast_to(t_embed[:, None, :], (B, L, cfg.c_s))
         ang_embed = angles_embedder(angles_t).reshape(B, L, -1)
-        node_embed = MLP((cfg.c_s, cfg.c_s), name="res_feat_mixer")(
+        cdt = cfg.compute_dtype
+        node_embed = MLP((cfg.c_s, cfg.c_s), name="res_feat_mixer", dtype=cdt)(
             jnp.concatenate([node_embed, seq_embed, t_embed, ang_embed], axis=-1)
-        )
+        ).astype(jnp.float32)
         node_embed = node_embed * node_mask[..., None]
 
         R, tr = rotmats_t, trans_t
         for b in range(cfg.num_blocks):
             ipa_embed = InvariantPointAttention(
                 cfg.c_s, cfg.c_z, cfg.c_hidden, cfg.no_heads,
-                cfg.no_qk_points, cfg.no_v_points, name=f"ipa_{b}",
+                cfg.no_qk_points, cfg.no_v_points, dtype=cdt, name=f"ipa_{b}",
             )(node_embed, edge_embed, R, tr, node_mask)
             ipa_embed = ipa_embed * node_mask[..., None]
             node_embed = nn.LayerNorm(name=f"ipa_ln_{b}")(node_embed + ipa_embed)
             seq_tfmr_out = TorchTransformerEncoder(
                 cfg.c_s, cfg.seq_tfmr_num_heads, cfg.seq_tfmr_num_layers,
-                name=f"seq_tfmr_{b}",
+                dtype=cdt, name=f"seq_tfmr_{b}",
             )(node_embed, key_padding_mask=(node_mask < 0.5))
             node_embed = node_embed + Linear(cfg.c_s, init="final", name=f"post_tfmr_{b}")(seq_tfmr_out)
-            node_embed = StructureModuleTransition(cfg.c_s, name=f"node_transition_{b}")(node_embed)
+            node_embed = StructureModuleTransition(cfg.c_s, dtype=cdt, name=f"node_transition_{b}")(node_embed)
             node_embed = node_embed * node_mask[..., None]
             update = BackboneUpdate(cfg.c_s, name=f"bb_update_{b}")(node_embed * node_mask[..., None])
             R, tr = frames.compose_q_update(R, tr, update, update_mask=node_mask)
@@ -90,9 +98,9 @@ class GAEncoder(nn.Module):
             if b < cfg.num_blocks - 1:
                 edge_embed = EdgeTransition(
                     node_embed_size=cfg.c_s, edge_embed_in=cfg.c_z,
-                    edge_embed_out=cfg.c_z, name=f"edge_transition_{b}",
+                    edge_embed_out=cfg.c_z, dtype=cdt, name=f"edge_transition_{b}",
                 )(node_embed, edge_embed)
-                edge_embed = edge_embed * edge_mask[..., None]
+                edge_embed = edge_embed * edge_mask[..., None].astype(edge_embed.dtype)
 
         pred_trans1 = tr
         pred_rotmats1 = R

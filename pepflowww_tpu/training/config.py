@@ -63,6 +63,7 @@ def model_config_from_dict(m: dict) -> FlowModelConfig:
             seq_tfmr_num_heads=ipa.get("seq_tfmr_num_heads", 4),
             seq_tfmr_num_layers=ipa.get("seq_tfmr_num_layers", 2),
             num_blocks=ipa.get("num_blocks", 6),
+            dtype=ipa.get("dtype", enc.get("dtype", m.get("dtype"))),
         ),
         interpolant=InterpolantConfig(
             min_t=float(itp.get("min_t", 1e-2)),

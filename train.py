@@ -35,10 +35,15 @@ def main():
     ap.add_argument("--structure_dir", type=str, default=None)
     ap.add_argument("--dataset_dir", type=str, default=None)
     ap.add_argument("--dataset_name", type=str, default="pep_pocket_train")
+    ap.add_argument("--val_dataset_name", type=str, default=None,
+                    help="validate every val_freq iters and drive the plateau "
+                         "scheduler on validation loss (train.py:160-186)")
     ap.add_argument("--exclude_names", type=str, default=None)
     ap.add_argument("--max_iters", type=int, default=None)
     ap.add_argument("--log_freq", type=int, default=100)
     ap.add_argument("--use_wandb", action="store_true")
+    ap.add_argument("--profile_dir", type=str, default=None,
+                    help="dump a jax.profiler trace of iterations 10-15 here")
     args = ap.parse_args()
 
     from pepflowww_tpu.training.config import load_config
@@ -93,6 +98,13 @@ def main():
                             seed=train_cfg["seed"],
                             num_shards=jax.process_count(), shard_index=jax.process_index())
         train_iter = loader.infinite()
+        if args.val_dataset_name:
+            val_dataset = PepDataset(
+                structure_dir=args.structure_dir, dataset_dir=args.dataset_dir,
+                name=args.val_dataset_name,
+            )
+            val_loader = DataLoader(val_dataset, batch_size=batch_size,
+                                    shuffle=False, drop_last=False)
 
     logger.info("Devices: %s | train size: %d", jax.devices(), n_train)
 
@@ -141,11 +153,40 @@ def main():
     max_iters = args.max_iters or int(train_cfg["max_iters"])
     rng_key = jax.random.PRNGKey(train_cfg["seed"] + 100 * jax.process_index())
 
+    from pepflowww_tpu.training.train_step import make_loss_fn
+
+    eval_loss = jax.jit(make_loss_fn(model, loss_weights))
+
+    def validate(it):
+        """Mean weighted loss over the val split (reference train.py:160-186)."""
+        acc = misc.ScalarMetricAccumulator()
+        vkey = jax.random.PRNGKey(0)
+        for vb in val_loader:
+            vb = {k: v for k, v in vb.items() if not isinstance(v, list)}
+            vkey, k = jax.random.split(vkey)
+            total, losses = eval_loss(params, vb, k)
+            bsz = int(vb["aa"].shape[0])
+            acc.add("loss", float(total), bsz)
+            for name, v in losses.items():
+                acc.add(name, float(v), bsz)
+        summary = acc.summary()
+        metrics.log(it, summary, tag="val")
+        logger.info("val it %d | %s", it,
+                    " ".join(f"{k}={v:.4f}" for k, v in summary.items()))
+        return summary["loss"]
+
     # ---------------- loop ----------------
     batch = first_batch
     t0 = time.time()
     seen = 0
     for it in range(it_first, max_iters + 1):
+        # Tracing/profiling hook (SURVEY.md §5.1: absent in the reference —
+        # hand-rolled wall-clock only; here a real XLA trace behind a flag).
+        if args.profile_dir and it == it_first + 10:
+            jax.profiler.start_trace(args.profile_dir)
+        if args.profile_dir and it == it_first + 15:
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s", args.profile_dir)
         rng_key, step_key = jax.random.split(rng_key)
         if mesh is not None:
             batch = shard_batch(batch, mesh)
@@ -160,13 +201,22 @@ def main():
             logger.info("it %d | loss %.4f | %s", it, m["loss"],
                         " ".join(f"{k}={v:.4f}" for k, v in m.items() if k.endswith("_loss")))
             metrics.log(it, m, tag="train")
-            # Plateau scheduler on the training loss (the reference's val loop
-            # is disabled in-train; cf. train.py:191-193).
-            new_lr = sched.step(m["loss"], m["lr"])
-            if new_lr != m["lr"]:
+            if not args.val_dataset_name:
+                # No val split: drive the plateau scheduler on training loss
+                # (the reference's val loop is disabled in-train, train.py:191-193).
+                new_lr = sched.step(m["loss"], m["lr"])
+                if new_lr != m["lr"]:
+                    opt_state.hyperparams["learning_rate"] = new_lr
+                    logger.info("lr -> %.3g", new_lr)
+            t0, seen = time.time(), 0
+
+        if args.val_dataset_name and it % int(train_cfg["val_freq"]) == 0:
+            val_loss = validate(it)
+            lr = float(opt_state.hyperparams["learning_rate"])
+            new_lr = sched.step(val_loss, lr)
+            if new_lr != lr:
                 opt_state.hyperparams["learning_rate"] = new_lr
                 logger.info("lr -> %.3g", new_lr)
-            t0, seen = time.time(), 0
 
         if (not args.debug) and it % int(train_cfg["val_freq"]) == 0 and jax.process_index() == 0:
             path = ckpt_lib.save_checkpoint(ckpt_dir, it, params, opt_state, sched.state_dict())
