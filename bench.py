@@ -53,7 +53,7 @@ def bench_ours() -> float:
 
     # Production TPU path: bf16 matmuls (fp32 params/geometry/softmax);
     # numerics validated against fp32 in tests/test_bf16.py.
-    model = FlowModel(FlowModelConfig(ipa=IPAConfig(dtype="bfloat16")))
+    model = FlowModel(FlowModelConfig(ipa=IPAConfig(dtype="bfloat16", use_pallas=True)))
     key = jax.random.PRNGKey(0)
     params = jax.jit(model.init)({"params": key, "corruption": key}, batch)["params"]
 

@@ -50,7 +50,7 @@ class StructureModuleTransition(nn.Module):
         s = nn.relu(Linear(self.c, init="relu", dtype=self.dtype)(s))
         s = Linear(self.c, init="final", dtype=self.dtype)(s)
         s = (s + s_initial).astype(jnp.float32)
-        return nn.LayerNorm()(s)
+        return nn.LayerNorm(epsilon=1e-5)(s)
 
 
 class _DenseParams(nn.Module):
@@ -70,78 +70,105 @@ class _DenseParams(nn.Module):
         return kernel, bias
 
 
-class _FactorizedConcatDense(nn.Module):
-    """Dense over cat([edge, node_i, node_j], -1) without building the concat.
-
-    y[b,i,j] = edge[b,i,j] @ W_e  +  node[b,i] @ W_i  +  node[b,j] @ W_j  + b
-    with [W_e; W_i; W_j] the row-slices of one (c_e + 2c_n, F) kernel.
-    """
+class _NamedDenseParams(nn.Module):
+    """Wrapper giving the `Linear_k/Dense_0/{kernel,bias}` tree path while
+    exposing the raw arrays (shared between the XLA and Pallas paths)."""
 
     features: int
-    c_edge: int
-    c_bias: int
-    dtype: Optional[Dtype] = None
+    in_features: int
+    init: str = "relu"
 
     @nn.compact
-    def __call__(self, edge, node):
-        kernel, bias = _DenseParams(
-            self.features, self.c_edge + 2 * self.c_bias, init="relu", name="Dense_0"
-        )()
-        cdt = self.dtype or kernel.dtype
-        k = kernel.astype(cdt)
-        y_edge = jnp.einsum(
-            "bijc,cf->bijf", edge.astype(cdt), k[: self.c_edge],
-            preferred_element_type=cdt,
-        )
-        y_i = jnp.einsum(
-            "bic,cf->bif", node.astype(cdt), k[self.c_edge : self.c_edge + self.c_bias]
-        )
-        y_j = jnp.einsum(
-            "bjc,cf->bjf", node.astype(cdt), k[self.c_edge + self.c_bias :]
-        )
-        return y_edge + y_i[:, :, None, :] + y_j[:, None, :, :] + bias.astype(cdt)
+    def __call__(self):
+        return _DenseParams(self.features, self.in_features, self.init,
+                            name="Dense_0")()
+
+
+class _LayerNormParams(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(), (self.features,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return scale, bias
 
 
 class EdgeTransition(nn.Module):
+    """Pair-feature MLP (ipa_pytorch.py:209-248).
+
+    Holds its parameters as raw arrays (tree-compatible with a stack of Dense
+    layers) so the same weights drive either the XLA graph or the fused Pallas
+    kernel (`use_pallas`, inference path).
+    """
+
     node_embed_size: int
     edge_embed_in: int
     edge_embed_out: int
     num_layers: int = 2
     node_dilation: int = 2
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, node_embed, edge_embed):
-        bias_embed_size = self.node_embed_size // self.node_dilation
-        node_bias = Linear(bias_embed_size, init="relu", dtype=self.dtype,
-                           name="Linear_0")(node_embed)
+    def __call__(self, node_embed, edge_embed, edge_mask=None):
+        assert self.num_layers == 2
+        c_bias = self.node_embed_size // self.node_dilation
+        c_edge = self.edge_embed_in
+        hidden = c_bias * 2 + c_edge
+        cdt = self.dtype or jnp.float32
+
+        k0, b0 = _NamedDenseParams(c_bias, self.node_embed_size, "relu", name="Linear_0")()
+        k1, b1 = _NamedDenseParams(hidden, hidden, "relu", name="Linear_1")()
+        k2, b2 = _NamedDenseParams(hidden, hidden, "relu", name="Linear_2")()
+        k3, b3 = _NamedDenseParams(self.edge_embed_out, hidden, "final", name="Linear_3")()
+        ln_scale, ln_bias = _LayerNormParams(self.edge_embed_out, name="LayerNorm_0")()
+
+        node_bias = (
+            jnp.einsum("blc,cf->blf", node_embed.astype(cdt), k0.astype(cdt))
+            + b0.astype(cdt)
+        )
         B, L, _ = node_bias.shape
-        hidden_size = bias_embed_size * 2 + self.edge_embed_in
 
+        if self.use_pallas and not self.is_initializing():
+            from pepflowww_tpu.models.pallas_edge import fused_edge_transition
+
+            mask = edge_mask if edge_mask is not None else jnp.ones((B, L, L))
+            out = fused_edge_transition(
+                edge_embed, node_bias, mask,
+                {"k1": k1, "b1": b1, "k2": k2, "b2": b2, "k3": k3, "b3": b3,
+                 "ln_scale": ln_scale, "ln_bias": ln_bias},
+                dtype=cdt if self.dtype is not None else jnp.float32,
+            )
+            return out
+
+        # ---- XLA path ----
+        def factorized(kernel, bias, edge, node, acc_dtype):
+            k = kernel.astype(cdt)
+            y_e = jnp.einsum("bijc,cf->bijf", edge.astype(cdt), k[:c_edge],
+                             preferred_element_type=acc_dtype)
+            y_i = jnp.einsum("bic,cf->bif", node, k[c_edge:c_edge + c_bias])
+            y_j = jnp.einsum("bjc,cf->bjf", node, k[c_edge + c_bias:])
+            return y_e + y_i[:, :, None, :] + y_j[:, None, :, :] + bias.astype(cdt)
+
+        x = nn.relu(factorized(k1, b1, edge_embed, node_bias, cdt))
         x = nn.relu(
-            _FactorizedConcatDense(
-                hidden_size, self.edge_embed_in, bias_embed_size,
-                dtype=self.dtype, name="Linear_1",
-            )(edge_embed, node_bias)
+            jnp.einsum("bijc,cf->bijf", x, k2.astype(cdt),
+                       preferred_element_type=cdt) + b2.astype(cdt)
         )
-        for i in range(1, self.num_layers):
-            x = nn.relu(Linear(hidden_size, init="relu", dtype=self.dtype,
-                               name=f"Linear_{i + 1}")(x))
+        # Residual adds the concatenated input (ipa_pytorch.py:240-243);
+        # the final projection of (x + concat) factorizes the same way.
+        out = jnp.einsum("bijc,cf->bijf", x, k3.astype(cdt),
+                         preferred_element_type=cdt)
+        out = out + factorized(k3, b3, edge_embed, node_bias, cdt)
 
-        # Residual adds the concatenated input (ipa_pytorch.py:240-243).
-        concat = jnp.concatenate(
-            [
-                edge_embed.astype(x.dtype),
-                jnp.broadcast_to(node_bias[:, :, None, :].astype(x.dtype),
-                                 (B, L, L, bias_embed_size)),
-                jnp.broadcast_to(node_bias[:, None, :, :].astype(x.dtype),
-                                 (B, L, L, bias_embed_size)),
-            ],
-            axis=-1,
-        )
-        edge_embed = Linear(self.edge_embed_out, init="final", dtype=self.dtype,
-                            name=f"Linear_{self.num_layers + 1}")(x + concat)
-        out = nn.LayerNorm(name="LayerNorm_0")(edge_embed.astype(jnp.float32))
+        out = out.astype(jnp.float32)
+        mu = jnp.mean(out, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(out - mu), axis=-1, keepdims=True)
+        out = (out - mu) * jax.lax.rsqrt(var + 1e-5)  # torch LayerNorm default eps
+        out = out * ln_scale + ln_bias
+        if edge_mask is not None:
+            out = out * edge_mask[..., None].astype(out.dtype)
         # Keep the inter-block L² pair tensor in compute precision: it is the
         # biggest recurring HBM load (read by linear_b/down_z and the next
         # EdgeTransition every block); the LN statistics above stay fp32.
@@ -296,12 +323,12 @@ class TorchTransformerEncoderLayer(nn.Module):
                          preferred_element_type=jnp.float32).reshape(B, L, D)
         out = Linear(D, init="torch", name="out_proj", dtype=dt)(out)
 
-        x = nn.LayerNorm(name="norm1")((x + out).astype(jnp.float32))
+        x = nn.LayerNorm(epsilon=1e-5, name="norm1")((x + out).astype(jnp.float32))
         ff = Linear(D, init="torch", name="linear2", dtype=dt)(
             nn.relu(Linear(self.dim_feedforward, init="torch", name="linear1",
                            dtype=dt)(x))
         )
-        return nn.LayerNorm(name="norm2")((x + ff).astype(jnp.float32))
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")((x + ff).astype(jnp.float32))
 
 
 class TorchTransformerEncoder(nn.Module):

@@ -1,0 +1,150 @@
+"""Fused EdgeTransition Pallas kernel.
+
+The pair-feature MLP (ipa_pytorch.py:209-248) is the sampler's bandwidth
+bottleneck: per block it streams L²-pair activations of width 192 through HBM
+four times (first layer, second layer, residual concat, final projection).
+This kernel runs the whole chain — factorized concat matmul, two ReLU layers,
+residual, output projection, LayerNorm, pair mask — on VMEM-resident tiles of
+pairs, so HBM sees only the 64-wide input read and the 64-wide output write
+(~12x less traffic than the XLA graph).
+
+Layout: pairs (i, j) flatten to P = L² rows, tiled TILE_P = K_I·L rows per
+program (K_I consecutive i values, all j). The node-bias contributions are
+computed on the (K_I + L) node rows and broadcast in-kernel — they never touch
+HBM at pair resolution. The final Linear's kernel is split the same way as the
+first layer's, so the residual-concat term folds into four small matmuls.
+
+Weights arrive in compute dtype; accumulation and LayerNorm statistics are
+fp32. Matches the XLA EdgeTransition to bf16 tolerance (tests/test_pallas.py);
+used on the inference path (`use_pallas` in IPAConfig) — training takes the
+XLA graph (autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(edge_ref, node_ref, mask_ref,
+            w1e_ref, w1i_ref, w1j_ref, b1_ref,
+            w2_ref, b2_ref,
+            w3h_ref, w3e_ref, w3i_ref, w3j_ref, b3_ref,
+            ln_scale_ref, ln_bias_ref,
+            out_ref, *, k_i: int, L: int, eps: float):
+    f32 = jnp.float32
+    e = edge_ref[0]              # (TILE_P, CZ)
+    node = node_ref[0]           # (L, CB) — all nodes of this batch row
+    i0 = pl.multiple_of(pl.program_id(1) * k_i, k_i)
+    node_i = node_ref[0, pl.ds(i0, k_i), :]             # (K_I, CB) ref slice
+
+    # First layer, factorized (cf. models/ipa.py::_FactorizedConcatDense).
+    y_e = jnp.dot(e, w1e_ref[:], preferred_element_type=f32)          # (TILE_P, H)
+    y_i = jnp.dot(node_i, w1i_ref[:], preferred_element_type=f32)     # (K_I, H)
+    y_j = jnp.dot(node, w1j_ref[:], preferred_element_type=f32)       # (L, H)
+    H = y_e.shape[-1]
+    y_i_b = jnp.broadcast_to(y_i[:, None, :], (k_i, L, H)).reshape(k_i * L, H)
+    y_j_b = jnp.broadcast_to(y_j[None, :, :], (k_i, L, H)).reshape(k_i * L, H)
+    h = jax.nn.relu(y_e + y_i_b + y_j_b + b1_ref[:].astype(f32))
+
+    h = jax.nn.relu(
+        jnp.dot(h.astype(w2_ref.dtype), w2_ref[:], preferred_element_type=f32)
+        + b2_ref[:].astype(f32)
+    )
+
+    # Final projection of (h + concat), with the concat term factorized too.
+    o = jnp.dot(h.astype(w3h_ref.dtype), w3h_ref[:], preferred_element_type=f32)
+    o = o + jnp.dot(e, w3e_ref[:], preferred_element_type=f32)
+    oi = jnp.dot(node_i, w3i_ref[:], preferred_element_type=f32)      # (K_I, CZ)
+    oj = jnp.dot(node, w3j_ref[:], preferred_element_type=f32)        # (L, CZ)
+    CZ = o.shape[-1]
+    o = o + jnp.broadcast_to(oi[:, None, :], (k_i, L, CZ)).reshape(k_i * L, CZ)
+    o = o + jnp.broadcast_to(oj[None, :, :], (k_i, L, CZ)).reshape(k_i * L, CZ)
+    o = o + b3_ref[:].astype(f32)
+
+    # LayerNorm over the feature axis (fp32 statistics).
+    mu = jnp.mean(o, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(o - mu), axis=-1, keepdims=True)
+    o = (o - mu) * jax.lax.rsqrt(var + eps)
+    o = o * ln_scale_ref[:].astype(f32) + ln_bias_ref[:].astype(f32)
+
+    o = o * mask_ref[0].astype(f32)
+    out_ref[0] = o.astype(out_ref.dtype)
+
+
+def fused_edge_transition(
+    edge: jax.Array,        # (B, L, L, CZ)
+    node_bias: jax.Array,   # (B, L, CB) — output of the initial node Linear
+    edge_mask: jax.Array,   # (B, L, L)
+    params: dict,           # flax EdgeTransition params (Linear_1..3, LayerNorm_0)
+    num_layers: int = 2,
+    dtype=jnp.bfloat16,
+    eps: float = 1e-6,
+    k_i: Optional[int] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """Apply the fused kernel; numerically equivalent to the XLA EdgeTransition
+    (post node-bias Linear) at compute precision `dtype`."""
+    assert num_layers == 2, "kernel fuses the 2-layer reference configuration"
+    B, L, _, CZ = edge.shape
+    CB = node_bias.shape[-1]
+    Hd = CZ + 2 * CB
+
+    w1 = params["k1"].astype(dtype)
+    b1 = params["b1"].reshape(1, -1)
+    w2 = params["k2"].astype(dtype)
+    b2 = params["b2"].reshape(1, -1)
+    w3 = params["k3"].astype(dtype)
+    b3 = params["b3"].reshape(1, -1)
+    ln_scale = params["ln_scale"].reshape(1, -1)
+    ln_bias = params["ln_bias"].reshape(1, -1)
+
+    w1e, w1i, w1j = w1[:CZ], w1[CZ:CZ + CB], w1[CZ + CB:]
+    w3e, w3i, w3j = w3[:CZ], w3[CZ:CZ + CB], w3[CZ + CB:]
+    w3h = w3
+
+    if k_i is None:
+        # ~2048 pair rows per tile keeps every intermediate comfortably in
+        # VMEM; pick the largest divisor of L not exceeding that budget.
+        budget = max(1, 2048 // L)
+        k_i = max(d for d in range(1, min(L, budget) + 1) if L % d == 0)
+    assert L % k_i == 0, (L, k_i)
+    grid = (B, L // k_i)
+    tile_p = k_i * L
+
+    edge_flat = edge.reshape(B, L * L, CZ).astype(dtype)
+    mask_flat = edge_mask.reshape(B, L * L, 1).astype(dtype)
+    node_bias = node_bias.astype(dtype)
+
+    kernel = functools.partial(_kernel, k_i=k_i, L=L, eps=eps)
+
+    full = lambda *idx: (0, 0)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
+            pl.BlockSpec((1, L, CB), lambda b, p: (b, 0, 0)),
+            pl.BlockSpec((1, tile_p, 1), lambda b, p: (b, p, 0)),
+            # weights: whole-array blocks, identical for every program
+            pl.BlockSpec((CZ, Hd), full), pl.BlockSpec((CB, Hd), full),
+            pl.BlockSpec((CB, Hd), full), pl.BlockSpec((1, Hd), full),
+            pl.BlockSpec((Hd, Hd), full), pl.BlockSpec((1, Hd), full),
+            pl.BlockSpec((Hd, CZ), full), pl.BlockSpec((CZ, CZ), full),
+            pl.BlockSpec((CB, CZ), full), pl.BlockSpec((CB, CZ), full),
+            pl.BlockSpec((1, CZ), full),
+            pl.BlockSpec((1, CZ), full), pl.BlockSpec((1, CZ), full),
+        ],
+        out_specs=pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L * L, CZ), dtype),
+        interpret=interpret,
+    )(
+        edge_flat, node_bias, mask_flat,
+        w1e, w1i, w1j, b1, w2, b2, w3h, w3e, w3i, w3j, b3, ln_scale, ln_bias,
+    )
+    return out.reshape(B, L, L, CZ)

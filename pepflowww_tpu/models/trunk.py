@@ -42,6 +42,7 @@ class IPAConfig:
     seq_tfmr_num_layers: int = 2
     num_blocks: int = 6
     dtype: str | None = None
+    use_pallas: bool = False
 
     @property
     def compute_dtype(self):
@@ -84,7 +85,7 @@ class GAEncoder(nn.Module):
                 cfg.no_qk_points, cfg.no_v_points, dtype=cdt, name=f"ipa_{b}",
             )(node_embed, edge_embed, R, tr, node_mask)
             ipa_embed = ipa_embed * node_mask[..., None]
-            node_embed = nn.LayerNorm(name=f"ipa_ln_{b}")(node_embed + ipa_embed)
+            node_embed = nn.LayerNorm(epsilon=1e-5, name=f"ipa_ln_{b}")(node_embed + ipa_embed)
             seq_tfmr_out = TorchTransformerEncoder(
                 cfg.c_s, cfg.seq_tfmr_num_heads, cfg.seq_tfmr_num_layers,
                 dtype=cdt, name=f"seq_tfmr_{b}",
@@ -98,9 +99,9 @@ class GAEncoder(nn.Module):
             if b < cfg.num_blocks - 1:
                 edge_embed = EdgeTransition(
                     node_embed_size=cfg.c_s, edge_embed_in=cfg.c_z,
-                    edge_embed_out=cfg.c_z, dtype=cdt, name=f"edge_transition_{b}",
-                )(node_embed, edge_embed)
-                edge_embed = edge_embed * edge_mask[..., None].astype(edge_embed.dtype)
+                    edge_embed_out=cfg.c_z, dtype=cdt,
+                    use_pallas=cfg.use_pallas, name=f"edge_transition_{b}",
+                )(node_embed, edge_embed, edge_mask=edge_mask)
 
         pred_trans1 = tr
         pred_rotmats1 = R
