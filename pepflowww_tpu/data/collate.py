@@ -99,3 +99,34 @@ def replicate_item(item: dict, n: int) -> list:
     """n shallow copies of one complex (for num_samples-style sampling,
     cf. models_con/inference.py:72)."""
     return [dict(item) for _ in range(n)]
+
+
+def mask_select(v, mask: np.ndarray):
+    """Select residues by boolean mask, for arrays/lists of residue length
+    (pepflow/utils/data.py:111-117)."""
+    n = len(mask)
+    if isinstance(v, np.ndarray) and v.shape[:1] == (n,):
+        return v[mask]
+    if isinstance(v, list) and len(v) == n:
+        return [x for x, m in zip(v, mask) if m]
+    return v
+
+
+def mask_select_data(data: dict, mask: np.ndarray) -> dict:
+    """pepflow/utils/data.py:120-124."""
+    return {k: mask_select(v, mask) for k, v in data.items()}
+
+
+def find_longest_true_segment(mask: np.ndarray) -> np.ndarray:
+    """Boolean mask of the longest run of True values
+    (pepflow/utils/data.py:127-148), vectorized."""
+    m = np.asarray(mask, dtype=bool)
+    out = np.zeros_like(m)
+    if not m.any():
+        return out
+    padded = np.concatenate([[False], m, [False]])
+    edges = np.flatnonzero(np.diff(padded.astype(np.int8)))
+    starts, ends = edges[::2], edges[1::2]
+    best = np.argmax(ends - starts)
+    out[starts[best] : ends[best]] = True
+    return out
