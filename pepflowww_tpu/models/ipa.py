@@ -131,14 +131,14 @@ class EdgeTransition(nn.Module):
         B, L, _ = node_bias.shape
 
         if self.use_pallas and not self.is_initializing():
-            from pepflowww_tpu.models.pallas_edge import fused_edge_transition
+            from pepflowww_tpu.models.pallas_edge_bwd import fused_edge_transition_vjp
 
             mask = edge_mask if edge_mask is not None else jnp.ones((B, L, L))
-            out = fused_edge_transition(
+            out = fused_edge_transition_vjp(
                 edge_embed, node_bias, mask,
                 {"k1": k1, "b1": b1, "k2": k2, "b2": b2, "k3": k3, "b3": b3,
                  "ln_scale": ln_scale, "ln_bias": ln_bias},
-                dtype=cdt if self.dtype is not None else jnp.float32,
+                cdt if self.dtype is not None else jnp.float32,
             )
             return out
 

@@ -84,7 +84,7 @@ def fused_edge_transition(
     params: dict,           # flax EdgeTransition params (Linear_1..3, LayerNorm_0)
     num_layers: int = 2,
     dtype=jnp.bfloat16,
-    eps: float = 1e-6,
+    eps: float = 1e-5,  # torch LayerNorm default, matches the XLA path
     k_i: Optional[int] = None,
     interpret: bool = False,
 ) -> jax.Array:
@@ -103,6 +103,17 @@ def fused_edge_transition(
     b3 = params["b3"].reshape(1, -1)
     ln_scale = params["ln_scale"].reshape(1, -1)
     ln_bias = params["ln_bias"].reshape(1, -1)
+
+    # Zero-pad the hidden width to the next 128 multiple so the two big GEMMs
+    # run on fully aligned MXU tiles (ReLU(0)=0 keeps the math identical).
+    Hp = ((Hd + 127) // 128) * 128
+    if Hp != Hd:
+        pad = Hp - Hd
+        w1 = jnp.pad(w1, ((0, 0), (0, pad)))
+        b1 = jnp.pad(b1, ((0, 0), (0, pad)))
+        w2 = jnp.pad(w2, ((0, pad), (0, pad)))
+        b2 = jnp.pad(b2, ((0, 0), (0, pad)))
+        w3 = jnp.pad(w3, ((0, pad), (0, 0)))
 
     w1e, w1i, w1j = w1[:CZ], w1[CZ:CZ + CB], w1[CZ + CB:]
     w3e, w3i, w3j = w3[:CZ], w3[CZ:CZ + CB], w3[CZ + CB:]
@@ -132,10 +143,10 @@ def fused_edge_transition(
             pl.BlockSpec((1, L, CB), lambda b, p: (b, 0, 0)),
             pl.BlockSpec((1, tile_p, 1), lambda b, p: (b, p, 0)),
             # weights: whole-array blocks, identical for every program
-            pl.BlockSpec((CZ, Hd), full), pl.BlockSpec((CB, Hd), full),
-            pl.BlockSpec((CB, Hd), full), pl.BlockSpec((1, Hd), full),
-            pl.BlockSpec((Hd, Hd), full), pl.BlockSpec((1, Hd), full),
-            pl.BlockSpec((Hd, CZ), full), pl.BlockSpec((CZ, CZ), full),
+            pl.BlockSpec((CZ, Hp), full), pl.BlockSpec((CB, Hp), full),
+            pl.BlockSpec((CB, Hp), full), pl.BlockSpec((1, Hp), full),
+            pl.BlockSpec((Hp, Hp), full), pl.BlockSpec((1, Hp), full),
+            pl.BlockSpec((Hp, CZ), full), pl.BlockSpec((CZ, CZ), full),
             pl.BlockSpec((CB, CZ), full), pl.BlockSpec((CB, CZ), full),
             pl.BlockSpec((1, CZ), full),
             pl.BlockSpec((1, CZ), full), pl.BlockSpec((1, CZ), full),

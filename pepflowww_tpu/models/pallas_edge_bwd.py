@@ -1,0 +1,218 @@
+"""Backward pass for the fused EdgeTransition kernel (custom VJP).
+
+Forward saves only the kernel inputs; the backward kernel rematerializes the
+two hidden activations per pair tile in VMEM and produces input gradients plus
+weight/bias/LayerNorm gradients. Cross-tile weight-gradient accumulation uses
+the TPU grid's sequential execution: the accumulator blocks map every program
+to the same output block, initialized at the first program and added to
+thereafter.
+
+Wired up via `fused_edge_transition_vjp` (jax.custom_vjp); equivalence with
+`jax.grad` of the XLA EdgeTransition is pinned in tests/test_pallas.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from pepflowww_tpu.models import pallas_edge
+
+
+def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
+                w1_ref, b1_ref, w2_ref, b2_ref, w3_ref, b3_ref,
+                ln_scale_ref, ln_bias_ref,
+                d_edge_ref, d_node_ref, d_w1_ref, d_b1_ref, d_w2_ref, d_b2_ref,
+                d_w3_ref, d_b3_ref, d_scale_ref, d_bias_ref,
+                *, k_i: int, L: int, CZ: int, CB: int, eps: float):
+    f32 = jnp.float32
+    first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
+    first_p = pl.program_id(1) == 0
+
+    e = edge_ref[0].astype(f32)                       # (P, CZ)
+    node = node_ref[0].astype(f32)                    # (L, CB)
+    i0 = pl.multiple_of(pl.program_id(1) * k_i, k_i)
+    node_i = node_ref[0, pl.ds(i0, k_i), :].astype(f32)
+    mask = mask_ref[0].astype(f32)                    # (P, 1)
+    g = g_ref[0].astype(f32)                          # (P, CZ)
+
+    P = k_i * L
+    ni_b = jnp.broadcast_to(node_i[:, None, :], (k_i, L, CB)).reshape(P, CB)
+    nj_b = jnp.broadcast_to(node[None, :, :], (k_i, L, CB)).reshape(P, CB)
+    x_cat = jnp.concatenate([e, ni_b, nj_b], axis=-1)  # (P, Hd)
+
+    w1 = w1_ref[:].astype(f32)
+    w2 = w2_ref[:].astype(f32)
+    w3 = w3_ref[:].astype(f32)
+
+    # ---- recompute forward ----
+    a1 = jnp.dot(x_cat, w1, preferred_element_type=f32) + b1_ref[:].astype(f32)
+    h1 = jax.nn.relu(a1)
+    a2 = jnp.dot(h1, w2, preferred_element_type=f32) + b2_ref[:].astype(f32)
+    h2 = jax.nn.relu(a2)
+    r = h2 + x_cat
+    o = jnp.dot(r, w3, preferred_element_type=f32) + b3_ref[:].astype(f32)
+    mu = jnp.mean(o, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(o - mu), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    y = (o - mu) * inv
+
+    # ---- backward ----
+    g_out = g * mask
+    scale = ln_scale_ref[:].astype(f32)
+    d_scale = jnp.sum(g_out * y, axis=0, keepdims=True)
+    d_bias = jnp.sum(g_out, axis=0, keepdims=True)
+    dy = g_out * scale
+    # LayerNorm backward (per row over the feature axis of width CZ)
+    m1 = jnp.mean(dy, axis=-1, keepdims=True)
+    m2 = jnp.mean(dy * y, axis=-1, keepdims=True)
+    do = (dy - m1 - y * m2) * inv
+
+    dr = jnp.dot(do, w3.T, preferred_element_type=f32)
+    d_w3 = jnp.dot(r.T, do, preferred_element_type=f32)
+    d_b3 = jnp.sum(do, axis=0, keepdims=True)
+
+    da2 = dr * (a2 > 0)
+    d_w2 = jnp.dot(h1.T, da2, preferred_element_type=f32)
+    d_b2 = jnp.sum(da2, axis=0, keepdims=True)
+    dh1 = jnp.dot(da2, w2.T, preferred_element_type=f32)
+
+    da1 = dh1 * (a1 > 0)
+    d_w1 = jnp.dot(x_cat.T, da1, preferred_element_type=f32)
+    d_b1 = jnp.sum(da1, axis=0, keepdims=True)
+    dx = jnp.dot(da1, w1.T, preferred_element_type=f32) + dr  # residual path
+
+    d_edge_ref[0] = dx[:, :CZ].astype(d_edge_ref.dtype)
+    # node grads: sum the i-contribution over j and the j-contribution over i
+    d_ni = jnp.sum(dx[:, CZ:CZ + CB].reshape(k_i, L, CB), axis=1)     # (K_I, CB)
+    d_nj = jnp.sum(dx[:, CZ + CB:].reshape(k_i, L, CB), axis=0)       # (L, CB)
+
+    @pl.when(first_p)
+    def _():
+        d_node_ref[0] = jnp.zeros_like(d_node_ref[0])
+
+    d_node_ref[0, pl.ds(i0, k_i), :] += d_ni.astype(d_node_ref.dtype)
+    d_node_ref[0] += d_nj.astype(d_node_ref.dtype)
+
+    @pl.when(first)
+    def _():
+        d_w1_ref[...] = jnp.zeros_like(d_w1_ref)
+        d_b1_ref[...] = jnp.zeros_like(d_b1_ref)
+        d_w2_ref[...] = jnp.zeros_like(d_w2_ref)
+        d_b2_ref[...] = jnp.zeros_like(d_b2_ref)
+        d_w3_ref[...] = jnp.zeros_like(d_w3_ref)
+        d_b3_ref[...] = jnp.zeros_like(d_b3_ref)
+        d_scale_ref[...] = jnp.zeros_like(d_scale_ref)
+        d_bias_ref[...] = jnp.zeros_like(d_bias_ref)
+
+    d_w1_ref[...] += d_w1.astype(d_w1_ref.dtype)
+    d_b1_ref[...] += d_b1.astype(d_b1_ref.dtype)
+    d_w2_ref[...] += d_w2.astype(d_w2_ref.dtype)
+    d_b2_ref[...] += d_b2.astype(d_b2_ref.dtype)
+    d_w3_ref[...] += d_w3.astype(d_w3_ref.dtype)
+    d_b3_ref[...] += d_b3.astype(d_b3_ref.dtype)
+    d_scale_ref[...] += d_scale.astype(d_scale_ref.dtype)
+    d_bias_ref[...] += d_bias.astype(d_bias_ref.dtype)
+
+
+def edge_transition_bwd(edge, node_bias, edge_mask, params, g,
+                        eps: float = 1e-5, k_i=None, interpret: bool = False):
+    """Gradients of the fused EdgeTransition w.r.t. (edge, node_bias, params)."""
+    B, L, _, CZ = edge.shape
+    CB = node_bias.shape[-1]
+    Hd = CZ + 2 * CB
+
+    if k_i is None:
+        budget = max(1, 2048 // L)
+        k_i = max(d for d in range(1, min(L, budget) + 1) if L % d == 0)
+    grid = (B, L // k_i)
+    tile_p = k_i * L
+
+    f32 = jnp.float32
+    edge_flat = edge.reshape(B, L * L, CZ)
+    mask_flat = edge_mask.reshape(B, L * L, 1)
+    g_flat = g.reshape(B, L * L, CZ).astype(f32)
+
+    kernel = functools.partial(_bwd_kernel, k_i=k_i, L=L, CZ=CZ, CB=CB, eps=eps)
+    full = lambda *i: (0, 0)
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, L * L, CZ), f32),   # d_edge
+        jax.ShapeDtypeStruct((B, L, CB), f32),       # d_node
+        jax.ShapeDtypeStruct((Hd, Hd), f32),         # d_w1
+        jax.ShapeDtypeStruct((1, Hd), f32),
+        jax.ShapeDtypeStruct((Hd, Hd), f32),         # d_w2
+        jax.ShapeDtypeStruct((1, Hd), f32),
+        jax.ShapeDtypeStruct((Hd, CZ), f32),         # d_w3
+        jax.ShapeDtypeStruct((1, CZ), f32),
+        jax.ShapeDtypeStruct((1, CZ), f32),          # d_scale
+        jax.ShapeDtypeStruct((1, CZ), f32),          # d_bias
+    )
+    out_specs = (
+        pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
+        pl.BlockSpec((1, L, CB), lambda b, p: (b, 0, 0)),
+        pl.BlockSpec((Hd, Hd), full), pl.BlockSpec((1, Hd), full),
+        pl.BlockSpec((Hd, Hd), full), pl.BlockSpec((1, Hd), full),
+        pl.BlockSpec((Hd, CZ), full), pl.BlockSpec((1, CZ), full),
+        pl.BlockSpec((1, CZ), full), pl.BlockSpec((1, CZ), full),
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
+            pl.BlockSpec((1, L, CB), lambda b, p: (b, 0, 0)),
+            pl.BlockSpec((1, tile_p, 1), lambda b, p: (b, p, 0)),
+            pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
+            pl.BlockSpec((Hd, Hd), full), pl.BlockSpec((1, Hd), full),
+            pl.BlockSpec((Hd, Hd), full), pl.BlockSpec((1, Hd), full),
+            pl.BlockSpec((Hd, CZ), full), pl.BlockSpec((1, CZ), full),
+            pl.BlockSpec((1, CZ), full), pl.BlockSpec((1, CZ), full),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        edge_flat.astype(f32), node_bias.astype(f32), mask_flat.astype(f32),
+        g_flat,
+        params["k1"].astype(f32), params["b1"].reshape(1, -1).astype(f32),
+        params["k2"].astype(f32), params["b2"].reshape(1, -1).astype(f32),
+        params["k3"].astype(f32), params["b3"].reshape(1, -1).astype(f32),
+        params["ln_scale"].reshape(1, -1).astype(f32),
+        params["ln_bias"].reshape(1, -1).astype(f32),
+    )
+    (d_edge, d_node, d_w1, d_b1, d_w2, d_b2, d_w3, d_b3, d_scale, d_bias) = outs
+    d_params = {
+        "k1": d_w1, "b1": d_b1[0], "k2": d_w2, "b2": d_b2[0],
+        "k3": d_w3, "b3": d_b3[0], "ln_scale": d_scale[0], "ln_bias": d_bias[0],
+    }
+    return d_edge.reshape(B, L, L, CZ), d_node, d_params
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_edge_transition_vjp(edge, node_bias, edge_mask, params,
+                              dtype=jnp.bfloat16, interpret=False):
+    return pallas_edge.fused_edge_transition(
+        edge, node_bias, edge_mask, params, dtype=dtype, interpret=interpret
+    )
+
+
+def _fwd(edge, node_bias, edge_mask, params, dtype, interpret):
+    out = pallas_edge.fused_edge_transition(
+        edge, node_bias, edge_mask, params, dtype=dtype, interpret=interpret
+    )
+    return out, (edge, node_bias, edge_mask, params)
+
+
+def _bwd(dtype, interpret, res, g):
+    edge, node_bias, edge_mask, params = res
+    d_edge, d_node, d_params = edge_transition_bwd(
+        edge, node_bias, edge_mask, params, g=g, interpret=interpret
+    )
+    return (d_edge.astype(edge.dtype), d_node.astype(node_bias.dtype), None, d_params)
+
+
+fused_edge_transition_vjp.defvjp(_fwd, _bwd)

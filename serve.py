@@ -1,0 +1,233 @@
+#!/usr/bin/env python
+"""Peptide-design inference server.
+
+Loads the FlowModel once, pre-compiles samplers for the configured length
+buckets, and serves full-atom peptide codesign over HTTP — a serving surface
+the reference does not have (its inference is batch scripts only).
+
+Endpoints:
+    GET  /healthz             -> {"status": "ok", "device": ...}
+    POST /sample              -> generated peptides for one pocket
+        request JSON:
+            pocket_pdb:   str   PDB text of the receptor pocket
+            peptide_pdb:  str   (optional) native peptide PDB; its length and
+                                centroid define the generation task. If
+                                absent, `peptide_len` must be given and the
+                                pocket centroid seeds the placement.
+            peptide_len:  int   (optional, default 12)
+            num_samples:  int   (default 8)
+            num_steps:    int   (default 100)
+            seed:         int   (default 0)
+        response JSON:
+            pdbs: [str]         generated full-atom complexes
+            metrics: {ca_rmsd, aar, tm_score}   (vs native peptide if given)
+
+Usage:
+    python serve.py --ckpt logs/run/checkpoints/20000 --port 8300
+    python serve.py --synthetic_weights --port 8300   # random weights (smoke)
+"""
+
+from __future__ import annotations
+
+import argparse
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+
+class _State:
+    model = None
+    params = None
+    samplers = {}
+    lock = threading.Lock()
+    args = None
+
+
+S = _State()
+
+
+def _build_item(req: dict):
+    from pepflowww_tpu import constants as C
+    from pepflowww_tpu.data.pdb import parse_pdb_atoms, parse_pdb
+    from pepflowww_tpu.data.dataset import preprocess_structure
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as tmp:
+        with open(os.path.join(tmp, "pocket.pdb"), "w") as f:
+            f.write(req["pocket_pdb"])
+        if req.get("peptide_pdb"):
+            with open(os.path.join(tmp, "peptide.pdb"), "w") as f:
+                f.write(req["peptide_pdb"])
+            item = preprocess_structure({"id": "query", "pdb_path": tmp})
+            if item is None:
+                raise ValueError("failed to parse pocket/peptide PDBs")
+            return item
+
+        # No native peptide: synthesize an extended-chain placeholder of the
+        # requested length at the pocket centroid; it only seeds shapes/masks
+        # (the sampler replaces everything in the generated region).
+        pocket, _ = parse_pdb(os.path.join(tmp, "pocket.pdb"))
+        if pocket is None:
+            raise ValueError("failed to parse pocket PDB")
+        pep_len = int(req.get("peptide_len", 12))
+        from pepflowww_tpu.data.synthetic import make_complex
+
+        rng = np.random.default_rng(int(req.get("seed", 0)))
+        synth = make_complex(rng, pep_len=pep_len, rec_len=1)
+        pep_mask = synth["generate_mask"]
+        center = pocket["pos_heavyatom"][:, C.BBHeavyAtom.CA].mean(axis=0)
+        pocket = dict(pocket)
+        pocket["pos_heavyatom"] = pocket["pos_heavyatom"] - center
+        pocket["chain_nb"] = pocket["chain_nb"] + 1
+        from pepflowww_tpu.data.dataset import _torsions
+
+        pocket["torsion_angle"], pocket["torsion_angle_mask"] = _torsions(
+            pocket["pos_heavyatom"], pocket["aa"]
+        )
+        item = {"id": "query"}
+        item["generate_mask"] = np.concatenate(
+            [np.zeros(len(pocket["aa"]), dtype=bool), np.ones(pep_len, dtype=bool)]
+        )
+        for k in pocket:
+            if isinstance(pocket[k], np.ndarray):
+                item[k] = np.concatenate([pocket[k], synth[k][pep_mask]], axis=0)
+            elif isinstance(pocket[k], list):
+                item[k] = pocket[k] + [x for x, m in zip(synth[k], pep_mask) if m]
+        return item
+
+
+def _sample(req: dict) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from pepflowww_tpu import metrics as M
+    from pepflowww_tpu import sampling
+    from pepflowww_tpu.data.collate import device_batch, pad_and_collate, replicate_item
+    from pepflowww_tpu.data.pdb import save_pdb
+    from pepflowww_tpu.inference import reconstruct_full_atom_outputs, _chain_letters
+
+    item = _build_item(req)
+    n = int(req.get("num_samples", 8))
+    steps = int(req.get("num_steps", 100))
+    batch_np = pad_and_collate(replicate_item(item, n))
+    batch = {k: jnp.asarray(v) for k, v in device_batch(batch_np).items()}
+    L = int(batch["aa"].shape[1])
+
+    with S.lock:
+        key = (L, steps)
+        if key not in S.samplers:
+            S.samplers[key] = sampling.make_sampler(S.model, num_steps=steps)
+        fn = S.samplers[key]
+
+    out = fn(S.params, batch, jax.random.PRNGKey(int(req.get("seed", 0))))
+    m = M.evaluate_sample(out, batch)
+    pos15, mask15 = reconstruct_full_atom_outputs(out, batch_np)
+    seqs = np.asarray(out["seqs"])
+    res_mask = np.asarray(batch_np["res_mask"]).astype(bool)
+    pdbs = []
+    for b in range(n):
+        sel = res_mask[b]
+        pdbs.append(save_pdb({
+            "aa": seqs[b][sel],
+            "pos_heavyatom": pos15[b][sel],
+            "mask_heavyatom": mask15[b][sel],
+            "chain_nb": np.asarray(batch_np["chain_nb"])[b][sel],
+            "resseq": np.asarray(batch_np["resseq"])[b][sel],
+            "chain_id": _chain_letters(np.asarray(batch_np["chain_nb"])[b][sel]),
+            "icode": [" "] * int(sel.sum()),
+        }))
+    return {
+        "pdbs": pdbs,
+        "metrics": {
+            "ca_rmsd": [float(x) for x in m["ca_rmsd"]],
+            "aar": [float(x) for x in m["aar"]],
+            "tm_score": [float(x) for x in m["tm_score"]],
+        },
+    }
+
+
+class Handler(BaseHTTPRequestHandler):
+    def _json(self, code: int, obj: dict):
+        body = json.dumps(obj).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            import jax
+
+            self._json(200, {"status": "ok", "device": str(jax.devices()[0])})
+        else:
+            self._json(404, {"error": "unknown path"})
+
+    def do_POST(self):
+        if self.path != "/sample":
+            self._json(404, {"error": "unknown path"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            req = json.loads(self.rfile.read(length))
+            self._json(200, _sample(req))
+        except Exception as e:  # noqa: BLE001 — server boundary
+            self._json(400, {"error": f"{e.__class__.__name__}: {e}"})
+
+    def log_message(self, fmt, *args):
+        print("[serve]", fmt % args)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="configs/learn_angle.yaml")
+    ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--torch_ckpt", default=None)
+    ap.add_argument("--synthetic_weights", action="store_true")
+    ap.add_argument("--port", type=int, default=8300)
+    ap.add_argument("--host", default="127.0.0.1")
+    args = ap.parse_args()
+    S.args = args
+
+    import jax
+    import jax.numpy as jnp
+
+    from pepflowww_tpu.data.collate import device_batch
+    from pepflowww_tpu.data.synthetic import make_batch
+    from pepflowww_tpu.models.flow import FlowModel
+    from pepflowww_tpu.training.config import load_config
+
+    model_cfg, cfg, _ = load_config(args.config)
+    S.model = FlowModel(model_cfg)
+    rng = np.random.default_rng(0)
+    example = device_batch(make_batch(rng, batch_size=2, pep_len=8, rec_len=24, pad_to=32))
+    example = {k: jnp.asarray(v) for k, v in example.items()}
+    key = jax.random.PRNGKey(0)
+    S.params = jax.jit(S.model.init)({"params": key, "corruption": key}, example)["params"]
+    if args.torch_ckpt:
+        from pepflowww_tpu.convert import load_torch_checkpoint
+
+        S.params = load_torch_checkpoint(args.torch_ckpt)
+    elif args.ckpt:
+        from pepflowww_tpu.training import checkpoints as ckpt_lib
+        from pepflowww_tpu.training.optim import make_optimizer
+
+        tx = make_optimizer(dict(cfg.train["optimizer"]), cfg.train["max_grad_norm"])
+        restored = ckpt_lib.restore_checkpoint(
+            args.ckpt, {"params": S.params, "opt_state": tx.init(S.params),
+                        "scheduler": {"best": 0.0, "num_bad": 0}, "iteration": 0}
+        )
+        S.params = restored["params"]
+    elif not args.synthetic_weights:
+        print("[serve] WARNING: no checkpoint given; serving random weights")
+
+    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    print(f"[serve] listening on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

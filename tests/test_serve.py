@@ -1,0 +1,112 @@
+"""Serving surface: request building + end-to-end HTTP round trip (tiny model)."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import serve
+from pepflowww_tpu.data.pdb import save_pdb
+from pepflowww_tpu.data.synthetic import make_complex
+from pepflowww_tpu.data.collate import mask_select_data
+from pepflowww_tpu.models.flow import FlowModel, FlowModelConfig
+from pepflowww_tpu.models.trunk import IPAConfig
+
+
+@pytest.fixture(scope="module")
+def complex_pdbs(rng):
+    item = make_complex(rng, pep_len=5, rec_len=12)
+    pep = mask_select_data(item, item["generate_mask"])
+    rec = mask_select_data(item, ~item["generate_mask"])
+    return save_pdb(pep), save_pdb(rec)
+
+
+@pytest.fixture(scope="module")
+def tiny_server(complex_pdbs):
+    cfg = FlowModelConfig(
+        node_embed_size=32, edge_embed_size=16,
+        ipa=IPAConfig(c_s=32, c_z=16, c_hidden=8, no_heads=2, no_qk_points=2,
+                      no_v_points=3, seq_tfmr_num_heads=2, seq_tfmr_num_layers=1,
+                      num_blocks=1),
+    )
+    serve.S.model = FlowModel(cfg)
+    from pepflowww_tpu.data.collate import device_batch
+    from pepflowww_tpu.data.synthetic import make_batch
+
+    rng = np.random.default_rng(0)
+    example = device_batch(make_batch(rng, batch_size=1, pep_len=5, rec_len=12, pad_to=32))
+    example = {k: jnp.asarray(v) for k, v in example.items()}
+    key = jax.random.PRNGKey(0)
+    serve.S.params = jax.jit(serve.S.model.init)(
+        {"params": key, "corruption": key}, example
+    )["params"]
+    serve.S.samplers = {}
+
+    server = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield port
+    server.shutdown()
+
+
+def _post(port, path, obj):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(obj).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        return json.loads(resp.read())
+
+
+def test_healthz(tiny_server):
+    with urllib.request.urlopen(f"http://127.0.0.1:{tiny_server}/healthz") as resp:
+        body = json.loads(resp.read())
+    assert body["status"] == "ok"
+
+
+def test_sample_with_native_peptide(tiny_server, complex_pdbs):
+    pep_pdb, pocket_pdb = complex_pdbs
+    out = _post(tiny_server, "/sample", {
+        "pocket_pdb": pocket_pdb, "peptide_pdb": pep_pdb,
+        "num_samples": 2, "num_steps": 3,
+    })
+    assert len(out["pdbs"]) == 2
+    assert out["pdbs"][0].startswith("ATOM")
+    assert len(out["metrics"]["ca_rmsd"]) == 2
+
+
+def test_sample_without_native_peptide(tiny_server, complex_pdbs):
+    _, pocket_pdb = complex_pdbs
+    out = _post(tiny_server, "/sample", {
+        "pocket_pdb": pocket_pdb, "peptide_len": 6,
+        "num_samples": 1, "num_steps": 2,
+    })
+    assert len(out["pdbs"]) == 1
+    # generated peptide has 6 residues in chain A
+    pdb = out["pdbs"][0]
+    pep_residues = {line[22:27] for line in pdb.splitlines()
+                    if line.startswith("ATOM") and line[21] == "A"}
+    assert len(pep_residues) == 6
+
+
+def test_sample_error_path(tiny_server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{tiny_server}/sample",
+        data=json.dumps({"pocket_pdb": "garbage"}).encode(),
+    )
+    try:
+        urllib.request.urlopen(req)
+        raised = False
+    except urllib.error.HTTPError as e:
+        raised = True
+        body = json.loads(e.read())
+        assert "error" in body
+        assert e.code == 400
+    assert raised
