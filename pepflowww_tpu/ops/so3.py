@@ -169,6 +169,13 @@ def geodesic_t(t, mat: jax.Array, base_mat: jax.Array, rot_vf=None) -> jax.Array
     return _einsum("...ij,...jk->...ik", base_mat, mat_t)
 
 
+def centered_gaussian(key: jax.Array, shape) -> jax.Array:
+    """Gaussian point cloud centered over the length axis
+    (pepflow/modules/so3/dist.py:35-38: noise minus its per-sample mean)."""
+    noise = jax.random.normal(key, shape)
+    return noise - jnp.mean(noise, axis=-2, keepdims=True)
+
+
 def uniform_so3(key: jax.Array, shape=()) -> jax.Array:
     """Sample uniform rotations via normalized quaternions.
 

@@ -46,6 +46,14 @@ def make_optimizer(opt_cfg: dict, max_grad_norm: float = 100.0):
     return optax.inject_hyperparams(build)(learning_rate=lr)
 
 
+def warmup_schedule(base_lr: float, warmup_steps: int):
+    """Linear warmup to base_lr (pepflow/utils/train.py:56-60 equivalent).
+
+    Compose with make_optimizer by passing the returned schedule as lr.
+    """
+    return optax.linear_schedule(0.0, base_lr, warmup_steps)
+
+
 def zero_nans(tree):
     """Zero non-finite entries elementwise (train.py:136-139)."""
     return jax.tree_util.tree_map(

@@ -1,0 +1,64 @@
+"""End-to-end sampler-semantics parity (statistical).
+
+The fixture holds the reference sampler's final-step statistics for a seeded
+random-init model on a synthetic complex. Our sampler with the converted
+weights must land within the reference spread — this exercises the exp-rate
+rotation schedule, context re-masking, per-step torsion zeroing, simplex
+integration and the final t=1 prediction together.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pepflowww_tpu import sampling
+from pepflowww_tpu.convert import convert_state_dict
+from pepflowww_tpu.models.flow import FlowModel, FlowModelConfig
+from pepflowww_tpu.models.trunk import IPAConfig
+
+
+def test_sampler_statistics_match_reference(golden):
+    g = golden("sampler_stats")
+    nb = int(g["num_blocks"])
+    steps = int(g["num_steps"])
+    n = int(g["num_samples"])
+
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_state_dict(sd, num_blocks=nb, seq_tfmr_num_layers=2)
+    model = FlowModel(FlowModelConfig(ipa=IPAConfig(num_blocks=nb)))
+    batch = {k[6:]: jnp.asarray(g[k]) for k in g.files if k.startswith("batch_")}
+
+    out = sampling.euler_sample(
+        model, {"params": params}["params"], batch, jax.random.PRNGKey(3),
+        num_steps=steps,
+    )
+    gen = np.asarray(batch["generate_mask"]).astype(bool)
+
+    trans = np.asarray(out["trans"])
+    trans_1 = np.asarray(out["trans_1"])
+    rot = np.asarray(out["rotmats"])
+    rot_1 = np.asarray(out["rotmats_1"])
+    seqs = np.asarray(out["seqs"])
+    seqs_1 = np.asarray(out["seqs_1"])
+
+    ca_dev = np.sqrt((np.square(trans - trans_1).sum(-1) * gen).sum(-1) / gen.sum(-1))
+    rot_dev = np.sqrt((np.square(rot - rot_1).sum((-1, -2)) * gen).sum(-1) / gen.sum(-1))
+    aar = ((seqs == seqs_1) * gen).sum(-1) / gen.sum(-1)
+    trans_norm = np.sqrt((np.square(trans).sum(-1) * gen).sum(-1) / gen.sum(-1))
+
+    def check(name, ours, ref_vals, sigma=4.0, extra=0.0):
+        ref_mean, ref_std = float(np.mean(ref_vals)), float(np.std(ref_vals))
+        our_mean = float(np.mean(ours))
+        # standard error of the mean over n replicas, with slack for the
+        # different RNGs and a floor for near-deterministic stats
+        tol = sigma * ref_std / np.sqrt(n) + sigma * ref_std / np.sqrt(n) + extra
+        tol = max(tol, 0.15 * abs(ref_mean), 1e-3)
+        assert abs(our_mean - ref_mean) <= tol, (
+            f"{name}: ours {our_mean:.4f} vs ref {ref_mean:.4f}±{ref_std:.4f} (tol {tol:.4f})"
+        )
+
+    check("ca_dev", ca_dev, g["ca_dev"])
+    check("rot_dev", rot_dev, g["rot_dev"])
+    check("aar", aar, g["aar"], extra=0.05)
+    check("trans_norm", trans_norm, g["trans_norm"])
