@@ -202,6 +202,7 @@ class InvariantPointAttention(nn.Module):
     inf: float = 1e5
     eps: float = 1e-8
     dtype: Optional[Dtype] = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, s, z, R, t, mask):
@@ -219,9 +220,10 @@ class InvariantPointAttention(nn.Module):
         Pq, Pv = self.no_qk_points, self.no_v_points
         dt = self.dtype
 
-        q = Linear(H * C, name="linear_q", dtype=dt)(s).reshape(B, L, H, C)
+        q_flat = Linear(H * C, name="linear_q", dtype=dt)(s)
         kv = Linear(2 * H * C, name="linear_kv", dtype=dt)(s).reshape(B, L, H, 2 * C)
         k, v = kv[..., :C], kv[..., C:]
+        q = q_flat.reshape(B, L, H, C)
 
         # Point q/k/v in the global frame — fp32 geometry. The reference packs
         # points as [x-block | y-block | z-block] (ipa_pytorch.py:362-366).
@@ -239,12 +241,6 @@ class InvariantPointAttention(nn.Module):
 
         # Scalar attention + pair bias (fp32 accumulation).
         b = Linear(H, name="linear_b", dtype=dt)(z)  # (B, L, L, H)
-        a = jnp.einsum("bihc,bjhc->bhij", q, k,
-                       preferred_element_type=jnp.float32) * math.sqrt(1.0 / (3 * C))
-        a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2)).astype(jnp.float32)
-
-        # Point attention: -w/2 * sum_p ||q_ip - k_jp||², via the square
-        # expansion to avoid the (B, L, L, H, P, 3) intermediate.
         head_weights = jax.nn.softplus(
             self.param(
                 "head_weights",
@@ -252,32 +248,60 @@ class InvariantPointAttention(nn.Module):
                 (H,),
             )
         ) * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
-        q_sq = jnp.sum(jnp.square(q_pts), axis=-1)  # (B, L, H, P)
-        k_sq = jnp.sum(jnp.square(k_pts), axis=-1)
-        qk = jnp.einsum("bihpc,bjhpc->bhij", q_pts, k_pts,
-                        preferred_element_type=jnp.float32)
-        pt_att = (
-            jnp.sum(q_sq, axis=-1).transpose(0, 2, 1)[:, :, :, None]
-            + jnp.sum(k_sq, axis=-1).transpose(0, 2, 1)[:, :, None, :]
-            - 2.0 * qk
-        )
-        pt_att = pt_att * head_weights[None, :, None, None] * (-0.5)
-
-        square_mask = self.inf * (mask[:, :, None] * mask[:, None, :] - 1.0)
-        a = a + pt_att + square_mask[:, None, :, :]
-        a = jax.nn.softmax(a, axis=-1)
-        a_c = a.astype(dt) if dt is not None else a
-
-        # Outputs.
-        o = jnp.einsum("bhij,bjhc->bihc", a_c, v,
-                       preferred_element_type=jnp.float32).reshape(B, L, H * C)
-        o_pt = jnp.einsum("bhij,bjhpc->bihpc", a, v_pts)  # fp32 geometry
-        o_pt = frames.global_to_local(R, t, o_pt.reshape(B, L, H * Pv, 3))
-        o_pt_norm = jnp.sqrt(jnp.sum(jnp.square(o_pt), axis=-1) + self.eps)
-
         pair_z = Linear(self.c_z // 4, name="down_z", dtype=dt)(z)
-        o_pair = jnp.einsum("bhij,bijd->bihd", a_c, pair_z,
-                            preferred_element_type=jnp.float32).reshape(B, L, -1)
+
+        if self.use_pallas and not self.is_initializing():
+            from pepflowww_tpu.models.pallas_ipa import fused_ipa_attention_vjp
+
+            k_flat = k.reshape(B, L, H * C)
+            v_flat = v.reshape(B, L, H * C)
+            # Fold the per-head softplus weight into the q/k points: scaling
+            # both by sqrt(w_h) makes the squared-distance expansion carry
+            # w_h * ||q - k||² implicitly.
+            sw = jnp.sqrt(head_weights)[None, None, :, None, None]
+            o, o_pt_f, o_pair_f = fused_ipa_attention_vjp(
+                q_flat, k_flat, v_flat,
+                (q_pts * sw).reshape(B, L, H, Pq * 3),
+                (k_pts * sw).reshape(B, L, H, Pq * 3),
+                v_pts.reshape(B, L, H, Pv * 3),
+                jnp.transpose(b, (0, 3, 1, 2)),
+                pair_z, mask, self.inf,
+            )
+            o_pt = frames.global_to_local(R, t, o_pt_f.reshape(B, L, H * Pv, 3))
+            o_pt_norm = jnp.sqrt(jnp.sum(jnp.square(o_pt), axis=-1) + self.eps)
+            o_pair = o_pair_f.reshape(B, L, -1)
+        else:
+            a = jnp.einsum("bihc,bjhc->bhij", q, k,
+                           preferred_element_type=jnp.float32) * math.sqrt(1.0 / (3 * C))
+            a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2)).astype(jnp.float32)
+
+            # Point attention: -w/2 * sum_p ||q_ip - k_jp||², via the square
+            # expansion to avoid the (B, L, L, H, P, 3) intermediate.
+            q_sq = jnp.sum(jnp.square(q_pts), axis=-1)  # (B, L, H, P)
+            k_sq = jnp.sum(jnp.square(k_pts), axis=-1)
+            qk = jnp.einsum("bihpc,bjhpc->bhij", q_pts, k_pts,
+                            preferred_element_type=jnp.float32)
+            pt_att = (
+                jnp.sum(q_sq, axis=-1).transpose(0, 2, 1)[:, :, :, None]
+                + jnp.sum(k_sq, axis=-1).transpose(0, 2, 1)[:, :, None, :]
+                - 2.0 * qk
+            )
+            pt_att = pt_att * head_weights[None, :, None, None] * (-0.5)
+
+            square_mask = self.inf * (mask[:, :, None] * mask[:, None, :] - 1.0)
+            a = a + pt_att + square_mask[:, None, :, :]
+            a = jax.nn.softmax(a, axis=-1)
+            a_c = a.astype(dt) if dt is not None else a
+
+            # Outputs.
+            o = jnp.einsum("bhij,bjhc->bihc", a_c, v,
+                           preferred_element_type=jnp.float32).reshape(B, L, H * C)
+            o_pt = jnp.einsum("bhij,bjhpc->bihpc", a, v_pts)  # fp32 geometry
+            o_pt = frames.global_to_local(R, t, o_pt.reshape(B, L, H * Pv, 3))
+            o_pt_norm = jnp.sqrt(jnp.sum(jnp.square(o_pt), axis=-1) + self.eps)
+
+            o_pair = jnp.einsum("bhij,bijd->bihd", a_c, pair_z,
+                                preferred_element_type=jnp.float32).reshape(B, L, -1)
 
         # Concat layout matches the reference (ipa_pytorch.py:475): scalar out,
         # then the x/y/z coordinate blocks of o_pt, point norms, pair readout.

@@ -43,6 +43,10 @@ class IPAConfig:
     num_blocks: int = 6
     dtype: str | None = None
     use_pallas: bool = False
+    # The fused IPA kernel is correct and tested, but this image's remote AOT
+    # compiler fails on graphs carrying both kernel families (11 pallas calls
+    # per denoise); keep it opt-in until profiled on direct-attached hardware.
+    use_pallas_ipa: bool = False
 
     @property
     def compute_dtype(self):
@@ -82,7 +86,8 @@ class GAEncoder(nn.Module):
         for b in range(cfg.num_blocks):
             ipa_embed = InvariantPointAttention(
                 cfg.c_s, cfg.c_z, cfg.c_hidden, cfg.no_heads,
-                cfg.no_qk_points, cfg.no_v_points, dtype=cdt, name=f"ipa_{b}",
+                cfg.no_qk_points, cfg.no_v_points, dtype=cdt,
+                use_pallas=cfg.use_pallas_ipa, name=f"ipa_{b}",
             )(node_embed, edge_embed, R, tr, node_mask)
             ipa_embed = ipa_embed * node_mask[..., None]
             node_embed = nn.LayerNorm(epsilon=1e-5, name=f"ipa_ln_{b}")(node_embed + ipa_embed)

@@ -149,3 +149,86 @@ def test_backward_matches_jax_grad(setup):
 
     fd = jax.grad(loss_xla_nb)(nb)
     np.testing.assert_allclose(np.asarray(gp[1]), np.asarray(fd), rtol=1e-3, atol=1e-4)
+
+
+# ---------------------------------------------------------------- IPA kernel
+@pytest.fixture(scope="module")
+def ipa_inputs():
+    B, L, H, C, Pq, Pv, CZ4 = 2, 16, 4, 32, 4, 6, 8
+    rng = np.random.default_rng(3)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
+    q = mk(B, L, H * C)
+    k = mk(B, L, H * C)
+    v = mk(B, L, H * C)
+    q_pts = mk(B, L, H, Pq * 3)
+    k_pts = mk(B, L, H, Pq * 3)
+    v_pts = mk(B, L, H, Pv * 3)
+    bias = mk(B, H, L, L)
+    pair_z = mk(B, L, L, CZ4)
+    mask = jnp.asarray((rng.random((B, L)) > 0.15).astype(np.float32))
+    return q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask
+
+
+def test_ipa_kernel_matches_reference(ipa_inputs):
+    from pepflowww_tpu.models.pallas_ipa import (
+        fused_ipa_attention,
+        ipa_attention_reference,
+    )
+
+    ref = ipa_attention_reference(*ipa_inputs)
+    out = fused_ipa_attention(*ipa_inputs, interpret=True)
+    for got, want, name in zip(out, ref, ["o", "o_pt", "o_pair"]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
+def test_ipa_kernel_vjp(ipa_inputs):
+    from pepflowww_tpu.models.pallas_ipa import (
+        fused_ipa_attention_vjp,
+        ipa_attention_reference,
+    )
+
+    def lp(*args):
+        o, opt, opair = fused_ipa_attention_vjp(*args, 1e5, True)
+        return jnp.sum(o**2) + jnp.sum(opt * 0.5) + jnp.sum(jnp.sin(opair))
+
+    def lr(*args):
+        o, opt, opair = ipa_attention_reference(*args)
+        return jnp.sum(o**2) + jnp.sum(opt * 0.5) + jnp.sum(jnp.sin(opair))
+
+    gp = jax.grad(lp, argnums=(0, 1, 2, 3, 7))(*ipa_inputs)
+    gr = jax.grad(lr, argnums=(0, 1, 2, 3, 7))(*ipa_inputs)
+    for got, want in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_ipa_module_use_pallas_matches():
+    """Full IPA module: pallas path vs XLA path with identical params."""
+    import functools as ft
+    import pepflowww_tpu.models.pallas_ipa as pi
+    from pepflowww_tpu.models.ipa import InvariantPointAttention
+    from pepflowww_tpu.ops import so3
+
+    B, L = 2, 16
+    rng = np.random.default_rng(4)
+    s = jnp.asarray(rng.normal(size=(B, L, 64)).astype(np.float32))
+    z = jnp.asarray(rng.normal(size=(B, L, L, 32)).astype(np.float32))
+    R = so3.uniform_so3(jax.random.PRNGKey(0), (B, L))
+    t = jnp.asarray(rng.normal(size=(B, L, 3)).astype(np.float32) * 5)
+    mask = jnp.asarray((rng.random((B, L)) > 0.1).astype(np.float32))
+
+    kwargs = dict(c_s=64, c_z=32, c_hidden=16, no_heads=4, no_qk_points=4,
+                  no_v_points=6)
+    m_xla = InvariantPointAttention(**kwargs)
+    params = m_xla.init(jax.random.PRNGKey(1), s, z, R, t, mask)["params"]
+    ref = m_xla.apply({"params": params}, s, z, R, t, mask)
+
+    orig = pi.fused_ipa_attention
+    pi.fused_ipa_attention = lambda *a, **k: orig(*a, **{**k, "interpret": True})
+    try:
+        m_pal = InvariantPointAttention(**kwargs, use_pallas=True)
+        out = m_pal.apply({"params": params}, s, z, R, t, mask)
+    finally:
+        pi.fused_ipa_attention = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)

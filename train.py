@@ -40,6 +40,8 @@ def main():
                          "scheduler on validation loss (train.py:160-186)")
     ap.add_argument("--exclude_names", type=str, default=None)
     ap.add_argument("--max_iters", type=int, default=None)
+    ap.add_argument("--val_freq", type=int, default=None)
+    ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--log_freq", type=int, default=100)
     ap.add_argument("--use_wandb", action="store_true")
     ap.add_argument("--profile_dir", type=str, default=None,
@@ -71,7 +73,9 @@ def main():
         ckpt_dir = os.path.join(log_dir, "checkpoints")
 
     # ---------------- data ----------------
-    batch_size = int(train_cfg["batch_size"])
+    if args.val_freq is not None:
+        train_cfg["val_freq"] = args.val_freq
+    batch_size = int(args.batch_size or train_cfg["batch_size"])
     if args.synthetic:
         from pepflowww_tpu.data.synthetic import make_batch
         from pepflowww_tpu.data.collate import device_batch
