@@ -163,6 +163,43 @@ def full_atom_to_pos15(pos14: jax.Array) -> jax.Array:
     return jnp.concatenate([pos14, jnp.zeros_like(pos14[..., :1, :])], axis=-2)
 
 
+# Mapping from the 15-slot heavy-atom layout to AF2's atom37 layout, built
+# from the shared atom-name tables (interop with AF2-family eval tooling;
+# cf. reference data/all_atom.py compute_backbone's atom14->atom37 shuffle).
+_ATOM37_NAMES = [
+    "N", "CA", "C", "CB", "O", "CG", "CG1", "CG2", "OG", "OG1", "SG", "CD",
+    "CD1", "CD2", "ND1", "ND2", "OD1", "OD2", "SD", "CE", "CE1", "CE2", "CE3",
+    "NE", "NE1", "NE2", "OE1", "OE2", "CH2", "NH1", "NH2", "OH", "CZ", "CZ2",
+    "CZ3", "NZ", "OXT",
+]
+
+
+def _build_pos15_to_atom37():
+    import numpy as np
+
+    idx = np.full((C.MAX_AA_TYPES, 37), -1, dtype=np.int32)
+    for r in range(C.NUM_AA_TYPES):
+        for slot, name in enumerate(C.HEAVYATOM_NAMES[r]):
+            if name and name in _ATOM37_NAMES:
+                idx[r, _ATOM37_NAMES.index(name)] = slot
+    return idx
+
+
+_POS15_TO_ATOM37 = _build_pos15_to_atom37()
+
+
+def pos15_to_atom37(pos15: jax.Array, aa: jax.Array):
+    """Scatter 15-slot positions into the AF2 atom37 layout.
+
+    Returns (atom37 positions (..., L, 37, 3), atom37 mask (..., L, 37)).
+    """
+    table = jnp.asarray(_POS15_TO_ATOM37)[jnp.clip(aa, 0, C.MAX_AA_TYPES - 1)]
+    safe = jnp.maximum(table, 0)
+    gathered = jnp.take_along_axis(pos15, safe[..., None].astype(jnp.int32), axis=-2)
+    valid = (table >= 0)[..., None]
+    return jnp.where(valid, gathered, 0.0), valid[..., 0]
+
+
 # ---------------------------------------------------------------------------
 # Backbone-only reconstruction (reference geometry.py:446-522)
 # ---------------------------------------------------------------------------

@@ -201,3 +201,33 @@ def make_sampler(model: FlowModel, num_steps: int = 100, sample_bb: bool = True,
         )
 
     return fn
+
+
+def make_dp_sampler(model: FlowModel, mesh, num_steps: int = 100,
+                    sample_bb: bool = True, sample_ang: bool = True,
+                    sample_seq: bool = True):
+    """Data-parallel sampler over a 1-D `data` mesh (mass sampling at scale).
+
+    The batch shards along axis 0 across devices; params replicate; one SPMD
+    program — XLA partitions the whole ODE with no collectives on the hot
+    path (sampling is embarrassingly parallel over complexes).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+
+    def fn(params, batch, key):
+        return euler_sample(
+            model, params, batch, key, num_steps=num_steps, sample_bb=sample_bb,
+            sample_ang=sample_ang, sample_seq=sample_seq,
+        )
+
+    def jitted(params, batch, key):
+        step = jax.jit(
+            fn,
+            in_shardings=(replicated, {k: sharded for k in batch}, replicated),
+        )
+        return step(params, batch, key)
+
+    return jitted

@@ -40,6 +40,8 @@ def main():
     ap.add_argument("--dataset_dir", type=str, default=None)
     ap.add_argument("--dataset_name", type=str, default="pep_pocket_test")
     ap.add_argument("--max_complexes", type=int, default=None)
+    ap.add_argument("--dp", action="store_true",
+                    help="shard sampling over all local devices")
     args = ap.parse_args()
 
     import jax
@@ -97,10 +99,20 @@ def main():
         batch = {k: jnp.asarray(v) for k, v in device_batch(batch_np).items()}
         L = batch["aa"].shape[1]
         if L not in sampler_cache:
-            sampler_cache[L] = sampling.make_sampler(
-                model, num_steps=args.num_steps, sample_bb=bool(args.sample_bb),
-                sample_ang=bool(args.sample_ang), sample_seq=bool(args.sample_seq),
-            )
+            if args.dp:
+                from pepflowww_tpu.parallel.mesh import make_mesh
+
+                sampler_cache[L] = sampling.make_dp_sampler(
+                    model, make_mesh(), num_steps=args.num_steps,
+                    sample_bb=bool(args.sample_bb),
+                    sample_ang=bool(args.sample_ang),
+                    sample_seq=bool(args.sample_seq),
+                )
+            else:
+                sampler_cache[L] = sampling.make_sampler(
+                    model, num_steps=args.num_steps, sample_bb=bool(args.sample_bb),
+                    sample_ang=bool(args.sample_ang), sample_seq=bool(args.sample_seq),
+                )
         key, k = jax.random.split(key)
         out = sampler_cache[L](params, batch, k)
         m = M.evaluate_sample(out, batch)

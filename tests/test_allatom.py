@@ -93,3 +93,19 @@ def test_tables_parity(golden):
     np.testing.assert_array_equal(C.TORSIONS_MASK, g["torsions_mask"])
     mask = allatom.heavyatom_mask_for(jnp.asarray(g["aa"]))
     np.testing.assert_array_equal(np.asarray(mask), g["heavy_mask"])
+
+
+def test_pos15_to_atom37(golden):
+    g = golden("full_atom")
+    import jax.numpy as jnp
+    pos15 = allatom.full_atom_to_pos15(jnp.asarray(g["pos14"]))
+    a37, mask37 = allatom.pos15_to_atom37(pos15, jnp.asarray(g["aa"]))
+    assert a37.shape == pos15.shape[:2] + (37, 3)
+    # N/CA/C land in slots 0/1/2; O in slot 4 (AF2 order)
+    np.testing.assert_allclose(np.asarray(a37)[..., 0, :], np.asarray(pos15)[..., 0, :])
+    np.testing.assert_allclose(np.asarray(a37)[..., 1, :], np.asarray(pos15)[..., 1, :])
+    np.testing.assert_allclose(np.asarray(a37)[..., 4, :], np.asarray(pos15)[..., 3, :])
+    # every slot of the 15-atom layout (incl. OXT) maps exactly once
+    from pepflowww_tpu import constants as C
+    n_expected = C.HEAVYATOM_MASK[np.asarray(g["aa"])].sum()
+    assert np.asarray(mask37).sum() == n_expected

@@ -139,3 +139,22 @@ def test_sampler_jit(setup):
     fn = sampling.make_sampler(model, num_steps=3)
     out = fn(params, batch, jax.random.PRNGKey(0))
     assert np.all(np.isfinite(np.asarray(out["trans"])))
+
+
+def test_dp_sampler_matches_single_device(setup):
+    """Sharded sampling must produce the same samples as single-device."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    from pepflowww_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    model, params, batch = setup
+    key = jax.random.PRNGKey(5)
+    single = sampling.euler_sample(model, params, batch, key, num_steps=3)
+
+    mesh = make_mesh(2)
+    dp = sampling.make_dp_sampler(model, mesh, num_steps=3)
+    out = dp(replicate(params, mesh), shard_batch(batch, mesh), key)
+    np.testing.assert_allclose(np.asarray(out["trans"]),
+                               np.asarray(single["trans"]), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out["seqs"]),
+                                  np.asarray(single["seqs"]))

@@ -46,7 +46,14 @@ def main():
     ap.add_argument("--use_wandb", action="store_true")
     ap.add_argument("--profile_dir", type=str, default=None,
                     help="dump a jax.profiler trace of iterations 10-15 here")
+    ap.add_argument("--multihost", action="store_true",
+                    help="call jax.distributed.initialize() for multi-host "
+                         "meshes (replaces torch.distributed rendezvous, "
+                         "train_ddp.py:79)")
     args = ap.parse_args()
+
+    if args.multihost:
+        jax.distributed.initialize()
 
     from pepflowww_tpu.training.config import load_config
     from pepflowww_tpu.training.optim import PlateauScheduler, make_optimizer
