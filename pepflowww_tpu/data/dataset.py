@@ -209,3 +209,32 @@ class DataLoader:
     def infinite(self) -> Iterator[dict]:
         while True:
             yield from iter(self)
+
+    def prefetch(self, depth: int = 2) -> Iterator[dict]:
+        """Infinite iterator with a background collate thread.
+
+        Replaces torch DataLoader's worker processes: the accelerator step and
+        the host-side fetch/pad of the next batch overlap, bounded by `depth`
+        in-flight batches.
+        """
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=depth)
+        stop = threading.Event()
+
+        def producer():
+            it = self.infinite()
+            while not stop.is_set():
+                try:
+                    q.put(next(it), timeout=0.5)
+                except queue.Full:
+                    continue
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                yield q.get()
+        finally:
+            stop.set()

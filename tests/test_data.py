@@ -116,3 +116,23 @@ def test_dataset_exclusion(tmp_path, rng):
     ds = PepDataset(str(structure_dir), str(tmp_path / "cache2"), name="mini2",
                     exclude_names_file=str(names), n_jobs=1)
     assert len(ds) == 1 and ds.ids == ["cx_1"]
+
+
+def test_loader_prefetch(tmp_path, rng):
+    from pepflowww_tpu.data.dataset import DataLoader
+    from pepflowww_tpu.data.synthetic import make_complex
+
+    items = [make_complex(rng, pep_len=5, rec_len=8) for _ in range(6)]
+
+    class ListDataset:
+        def __len__(self):
+            return len(items)
+
+        def __getitem__(self, i):
+            return items[i]
+
+    loader = DataLoader(ListDataset(), batch_size=2, shuffle=True, seed=0)
+    it = loader.prefetch(depth=2)
+    batches = [next(it) for _ in range(7)]  # crosses an epoch boundary
+    assert all(b["aa"].shape[0] == 2 for b in batches)
+    it.close()

@@ -108,7 +108,7 @@ def main():
         loader = DataLoader(dataset, batch_size=batch_size, shuffle=True,
                             seed=train_cfg["seed"],
                             num_shards=jax.process_count(), shard_index=jax.process_index())
-        train_iter = loader.infinite()
+        train_iter = loader.prefetch()
         if args.val_dataset_name:
             val_dataset = PepDataset(
                 structure_dir=args.structure_dir, dataset_dir=args.dataset_dir,
