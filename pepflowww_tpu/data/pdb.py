@@ -152,6 +152,38 @@ def parse_pdb(path: str, unknown_threshold: float = 1.0):
     return out, seq_map
 
 
+def get_fasta_from_pdb(path: str) -> dict:
+    """Per-chain one-letter sequences (parsers.py:163-179 / eval/utils.py)."""
+    data, _ = parse_pdb(path)
+    if data is None:
+        return {}
+    out: dict[str, str] = {}
+    for cid, aa in zip(data["chain_id"], data["aa"]):
+        out[cid] = out.get(cid, "") + C.RESINDEX_TO_RESSYMB.get(int(aa), "X")
+    return out
+
+
+def renumber_pdb(data: dict, start: int = 1) -> dict:
+    """Renumber residues sequentially per chain (eval/utils.py renumber)."""
+    out = dict(data)
+    resseq = np.asarray(data["resseq"]).copy()
+    chain_nb = np.asarray(data["chain_nb"])
+    for ch in np.unique(chain_nb):
+        idx = np.nonzero(chain_nb == ch)[0]
+        resseq[idx] = np.arange(start, start + len(idx))
+    out["resseq"] = resseq
+    return out
+
+
+def strip_to_backbone(data: dict) -> dict:
+    """Keep only N/CA/C/O atoms (eval/utils.py backbone-strip)."""
+    out = dict(data)
+    mask = np.asarray(data["mask_heavyatom"]).copy()
+    mask[:, 4:] = False
+    out["mask_heavyatom"] = mask
+    return out
+
+
 _ELEMENT_OF = {"N": "N", "C": "C", "O": "O", "S": "S"}
 
 

@@ -136,3 +136,23 @@ def test_loader_prefetch(tmp_path, rng):
     batches = [next(it) for _ in range(7)]  # crosses an epoch boundary
     assert all(b["aa"].shape[0] == 2 for b in batches)
     it.close()
+
+
+def test_fasta_renumber_strip(tmp_path, rng):
+    from pepflowww_tpu.data.pdb import get_fasta_from_pdb, renumber_pdb, strip_to_backbone
+
+    item = make_complex(rng, pep_len=6, rec_len=9)
+    path = str(tmp_path / "c.pdb")
+    save_pdb(item, path)
+    fasta = get_fasta_from_pdb(path)
+    assert set(fasta) == {"A", "B"}
+    assert len(fasta["A"]) + len(fasta["B"]) == 15
+
+    shifted = dict(item)
+    shifted["resseq"] = item["resseq"] + 100
+    renum = renumber_pdb(shifted)
+    assert renum["resseq"].min() == 1
+
+    bb = strip_to_backbone(item)
+    assert bb["mask_heavyatom"][:, :4].any()
+    assert not bb["mask_heavyatom"][:, 4:].any()
