@@ -44,9 +44,81 @@ class _State:
     samplers = {}
     lock = threading.Lock()
     args = None
+    scheduler = None
 
 
 S = _State()
+
+
+class BatchScheduler:
+    """Cross-request batching: concurrent /sample requests whose complexes
+    fall in the same (length-bucket, num_steps) group are padded to the bucket
+    and run as one device call — the TPU sees B≈max_batch regardless of how
+    clients chop their requests."""
+
+    def __init__(self, run_group, max_batch: int = 64, max_wait_ms: float = 25.0):
+        import collections
+        import threading as th
+
+        self.run_group = run_group
+        self.max_batch = max_batch
+        self.max_wait = max_wait_ms / 1000.0
+        self.cv = th.Condition()
+        self.pending = collections.defaultdict(list)  # group_key -> [entry]
+        th.Thread(target=self._worker, daemon=True).start()
+
+    def submit(self, group_key, rows, context):
+        """Queue `rows` (list of item dicts, all padded to the group's bucket)
+        and block until results for this request are ready."""
+        import threading as th
+
+        entry = {"rows": rows, "context": context, "event": th.Event(),
+                 "result": None, "error": None}
+        with self.cv:
+            self.pending[group_key].append(entry)
+            self.cv.notify()
+        entry["event"].wait()
+        if entry["error"] is not None:
+            raise entry["error"]
+        return entry["result"]
+
+    def _worker(self):
+        import time as _time
+
+        while True:
+            with self.cv:
+                while not self.pending:
+                    self.cv.wait()
+                # Give other requests a short window to join the batch.
+                self.cv.wait(timeout=self.max_wait)
+                group_key = max(
+                    self.pending, key=lambda k: sum(len(e["rows"]) for e in self.pending[k])
+                )
+                entries = self.pending.pop(group_key)
+            batch_entries = []
+            count = 0
+            for e in entries:
+                if count + len(e["rows"]) > self.max_batch and batch_entries:
+                    with self.cv:  # push overflow back
+                        self.pending[group_key].append(e)
+                        self.cv.notify()
+                    continue
+                batch_entries.append(e)
+                count += len(e["rows"])
+            try:
+                all_rows = [r for e in batch_entries for r in e["rows"]]
+                results = self.run_group(group_key, all_rows,
+                                         [e["context"] for e in batch_entries])
+                offset = 0
+                for e in batch_entries:
+                    n = len(e["rows"])
+                    e["result"] = results[offset : offset + n]
+                    offset += n
+                    e["event"].set()
+            except Exception as err:  # noqa: BLE001 — propagate per request
+                for e in batch_entries:
+                    e["error"] = err
+                    e["event"].set()
 
 
 def _build_item(req: dict):
@@ -99,38 +171,49 @@ def _build_item(req: dict):
         return item
 
 
-def _sample(req: dict) -> dict:
+_KEY_COUNTER = [0]
+
+
+def _run_group(group_key, rows, contexts):
+    """Execute one merged device batch; returns one result dict per row."""
     import jax
     import jax.numpy as jnp
 
     from pepflowww_tpu import metrics as M
     from pepflowww_tpu import sampling
-    from pepflowww_tpu.data.collate import device_batch, pad_and_collate, replicate_item
+    from pepflowww_tpu.data.collate import device_batch, pad_and_collate
     from pepflowww_tpu.data.pdb import save_pdb
     from pepflowww_tpu.inference import reconstruct_full_atom_outputs, _chain_letters
 
-    item = _build_item(req)
-    n = int(req.get("num_samples", 8))
-    steps = int(req.get("num_steps", 100))
-    batch_np = pad_and_collate(replicate_item(item, n))
+    bucket, steps = group_key
+    # Pad the merged batch to a power-of-two size so compiled programs are
+    # bounded per (bucket, steps); extra rows replicate the last item and are
+    # discarded from the results.
+    n_real = len(rows)
+    n_padded = 1
+    while n_padded < n_real:
+        n_padded *= 2
+    rows = rows + [rows[-1]] * (n_padded - n_real)
+    batch_np = pad_and_collate(rows, pad_to=bucket)
     batch = {k: jnp.asarray(v) for k, v in device_batch(batch_np).items()}
-    L = int(batch["aa"].shape[1])
 
     with S.lock:
-        key = (L, steps)
-        if key not in S.samplers:
-            S.samplers[key] = sampling.make_sampler(S.model, num_steps=steps)
-        fn = S.samplers[key]
+        skey = (bucket, n_padded, steps)
+        if skey not in S.samplers:
+            S.samplers[skey] = sampling.make_sampler(S.model, num_steps=steps)
+        fn = S.samplers[skey]
+        _KEY_COUNTER[0] += 1
+        key = jax.random.PRNGKey(_KEY_COUNTER[0])
 
-    out = fn(S.params, batch, jax.random.PRNGKey(int(req.get("seed", 0))))
+    out = fn(S.params, batch, key)
     m = M.evaluate_sample(out, batch)
     pos15, mask15 = reconstruct_full_atom_outputs(out, batch_np)
     seqs = np.asarray(out["seqs"])
     res_mask = np.asarray(batch_np["res_mask"]).astype(bool)
-    pdbs = []
-    for b in range(n):
+    results = []
+    for b in range(n_real):
         sel = res_mask[b]
-        pdbs.append(save_pdb({
+        pdb = save_pdb({
             "aa": seqs[b][sel],
             "pos_heavyatom": pos15[b][sel],
             "mask_heavyatom": mask15[b][sel],
@@ -138,13 +221,34 @@ def _sample(req: dict) -> dict:
             "resseq": np.asarray(batch_np["resseq"])[b][sel],
             "chain_id": _chain_letters(np.asarray(batch_np["chain_nb"])[b][sel]),
             "icode": [" "] * int(sel.sum()),
-        }))
+        })
+        results.append({
+            "pdb": pdb,
+            "ca_rmsd": float(m["ca_rmsd"][b]),
+            "aar": float(m["aar"][b]),
+            "tm_score": float(m["tm_score"][b]),
+        })
+    return results
+
+
+def _sample(req: dict) -> dict:
+    from pepflowww_tpu.data.collate import bucket_length, replicate_item
+
+    item = _build_item(req)
+    n = int(req.get("num_samples", 8))
+    steps = int(req.get("num_steps", 100))
+    bucket = bucket_length(len(item["aa"]))
+
+    if S.scheduler is None:
+        S.scheduler = BatchScheduler(_run_group)
+    rows = replicate_item(item, n)
+    per_row = S.scheduler.submit((bucket, steps), rows, req)
     return {
-        "pdbs": pdbs,
+        "pdbs": [r["pdb"] for r in per_row],
         "metrics": {
-            "ca_rmsd": [float(x) for x in m["ca_rmsd"]],
-            "aar": [float(x) for x in m["aar"]],
-            "tm_score": [float(x) for x in m["tm_score"]],
+            "ca_rmsd": [r["ca_rmsd"] for r in per_row],
+            "aar": [r["aar"] for r in per_row],
+            "tm_score": [r["tm_score"] for r in per_row],
         },
     }
 

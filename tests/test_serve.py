@@ -110,3 +110,31 @@ def test_sample_error_path(tiny_server):
         assert "error" in body
         assert e.code == 400
     assert raised
+
+
+def test_batch_scheduler_merges_concurrent_requests(tiny_server, complex_pdbs):
+    """Two concurrent same-bucket requests should share one device batch."""
+    import concurrent.futures
+
+    pep_pdb, pocket_pdb = complex_pdbs
+    calls = []
+    orig = serve._run_group
+
+    def spy(group_key, rows, contexts):
+        calls.append(len(rows))
+        return orig(group_key, rows, contexts)
+
+    serve._run_group = spy
+    serve.S.scheduler = None  # rebuild with the spy
+    try:
+        req = {"pocket_pdb": pocket_pdb, "peptide_pdb": pep_pdb,
+               "num_samples": 2, "num_steps": 2}
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            futs = [ex.submit(_post, tiny_server, "/sample", req) for _ in range(4)]
+            outs = [f.result() for f in futs]
+    finally:
+        serve._run_group = orig
+        serve.S.scheduler = None
+    assert all(len(o["pdbs"]) == 2 for o in outs)
+    assert sum(calls) == 8  # all rows ran
+    assert max(calls) > 2   # at least one call merged multiple requests
