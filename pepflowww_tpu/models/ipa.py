@@ -253,23 +253,23 @@ class InvariantPointAttention(nn.Module):
         if self.use_pallas and not self.is_initializing():
             from pepflowww_tpu.models.pallas_ipa import fused_ipa_attention_vjp
 
-            k_flat = k.reshape(B, L, H * C)
-            v_flat = v.reshape(B, L, H * C)
             # Fold the per-head softplus weight into the q/k points: scaling
             # both by sqrt(w_h) makes the squared-distance expansion carry
-            # w_h * ||q - k||² implicitly.
+            # w_h * ||q - k||² implicitly. All per-head tensors go head-major.
             sw = jnp.sqrt(head_weights)[None, None, :, None, None]
-            o, o_pt_f, o_pair_f = fused_ipa_attention_vjp(
-                q_flat, k_flat, v_flat,
-                (q_pts * sw).reshape(B, L, H, Pq * 3),
-                (k_pts * sw).reshape(B, L, H, Pq * 3),
-                v_pts.reshape(B, L, H, Pv * 3),
+            hm = lambda x: jnp.transpose(x, (0, 2, 1, 3))  # (B,L,H,*)->(B,H,L,*)
+            o_h, o_pt_h, o_pair_h = fused_ipa_attention_vjp(
+                hm(q), hm(k), hm(v),
+                hm((q_pts * sw).reshape(B, L, H, Pq * 3)),
+                hm((k_pts * sw).reshape(B, L, H, Pq * 3)),
+                hm(v_pts.reshape(B, L, H, Pv * 3)),
                 jnp.transpose(b, (0, 3, 1, 2)),
                 pair_z, mask, self.inf,
             )
-            o_pt = frames.global_to_local(R, t, o_pt_f.reshape(B, L, H * Pv, 3))
+            o = hm(o_h).reshape(B, L, H * C)
+            o_pt = frames.global_to_local(R, t, hm(o_pt_h).reshape(B, L, H * Pv, 3))
             o_pt_norm = jnp.sqrt(jnp.sum(jnp.square(o_pt), axis=-1) + self.eps)
-            o_pair = o_pair_f.reshape(B, L, -1)
+            o_pair = hm(o_pair_h).reshape(B, L, -1)
         else:
             a = jnp.einsum("bihc,bjhc->bhij", q, k,
                            preferred_element_type=jnp.float32) * math.sqrt(1.0 / (3 * C))

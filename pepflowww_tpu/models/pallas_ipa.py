@@ -3,16 +3,20 @@
 Fuses the attention core of InvariantPointAttention (AF2 Alg. 22,
 ipa_pytorch.py:393-473): scalar logits, point-distance term, pair bias, mask,
 softmax, and the three value aggregations (scalar v, value points, pair
-readout) — one VMEM pass per batch element with heads unrolled. The
-(B, H, L, L) logits/attention tensors never reach HBM.
+readout). Grid is (batch, head) — one small VMEM-resident program per head
+(the unrolled-heads variant overflowed the 16 MB scoped-vmem limit at
+flagship dims); the (B, H, L, L) logits/attention tensors never reach HBM.
 
-Layouts are chosen so no HBM transposes are needed around the kernel: scalar
-projections stay packed (B, L, H·C) and heads are column slices in VMEM;
-points are (B, L, H, P·3); only the small pair bias is passed head-major.
+All per-head tensors are head-major (B, H, L, *) so blocks are (1, 1, L, *)
+— the only layout the Mosaic block rules admit for per-head slicing. The
+cheap transposes happen in XLA around the call.
 
-The Linear projections and the frame transforms stay in XLA (MXU-friendly /
-fp32 geometry). Backward (`fused_ipa_attention_vjp`) recomputes through the
-jnp twin under `jax.vjp` — exact gradients, one XLA recompute.
+Per-head point weights are folded into the q/k points (scaled by
+sqrt(head_weight)) before the kernel, so the squared-distance expansion
+carries them implicitly.
+
+Backward (`fused_ipa_attention_vjp`) recomputes through the jnp twin under
+`jax.vjp` — exact gradients, one XLA recompute.
 """
 
 from __future__ import annotations
@@ -25,67 +29,55 @@ from jax.experimental import pallas as pl
 
 
 def _kernel(q_ref, k_ref, v_ref, qp_ref, kp_ref, vp_ref, bias_ref, pz_ref,
-            maskb_ref, o_ref, opt_ref, opair_ref,
-            *, H: int, C: int, s1: float, s2: float):
+            maskb_ref, o_ref, opt_ref, opair_ref, *, s1: float, s2: float):
     f32 = jnp.float32
-    q_all = q_ref[0]                              # (L, H*C)
-    k_all = k_ref[0]
-    v_all = v_ref[0]
+    q = q_ref[0, 0]                               # (L, C)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    qp = qp_ref[0, 0].astype(f32)                 # (L, Pq*3)
+    kp = kp_ref[0, 0].astype(f32)
     pz = pz_ref[0].astype(f32)                    # (L, L, CZ4)
     maskb = maskb_ref[0]                          # (1, L)
 
-    for h in range(H):
-        q = q_all[:, h * C:(h + 1) * C]
-        k = k_all[:, h * C:(h + 1) * C]
-        v = v_all[:, h * C:(h + 1) * C]
-        qp = qp_ref[0, :, h, :].astype(f32)       # (L, Pq*3)
-        kp = kp_ref[0, :, h, :].astype(f32)
+    a = jnp.dot(q, k.T, preferred_element_type=f32) * s1
+    a = a + bias_ref[0, 0].astype(f32) * s2
 
-        a = jnp.dot(q, k.T, preferred_element_type=f32) * s1
-        a = a + bias_ref[0, h].astype(f32) * s2
+    # points arrive pre-scaled by sqrt(head_weight); the squared-distance
+    # expansion then carries the per-head weight implicitly
+    q_sq = jnp.sum(jnp.square(qp), axis=-1, keepdims=True)   # (L, 1)
+    k_sq = jnp.sum(jnp.square(kp), axis=-1, keepdims=True)
+    qk = jnp.dot(qp, kp.T, preferred_element_type=f32)
+    pt = (q_sq + k_sq.T - 2.0 * qk) * -0.5
+    a = a + pt + maskb
 
-        # points arrive pre-scaled by sqrt(head_weight); the squared-distance
-        # expansion then carries the per-head weight implicitly
-        q_sq = jnp.sum(jnp.square(qp), axis=-1, keepdims=True)   # (L, 1)
-        k_sq = jnp.sum(jnp.square(kp), axis=-1, keepdims=True)
-        qk = jnp.dot(qp, kp.T, preferred_element_type=f32)
-        pt = (q_sq + k_sq.T - 2.0 * qk) * -0.5
-        a = a + pt + maskb
+    a = jax.nn.softmax(a, axis=-1)
+    a_c = a.astype(v.dtype)
 
-        a = jax.nn.softmax(a, axis=-1)
-        a_c = a.astype(v.dtype)
-
-        o_ref[0, :, h * C:(h + 1) * C] = jnp.dot(
-            a_c, v, preferred_element_type=f32
-        ).astype(o_ref.dtype)
-        opt_ref[0, :, h, :] = jnp.dot(
-            a, vp_ref[0, :, h, :].astype(f32), preferred_element_type=f32
-        ).astype(opt_ref.dtype)
-        # o_pair[i, d] = sum_j a[i, j] * z[i, j, d] — i-batched matvec (VPU)
-        opair_ref[0, :, h, :] = jnp.sum(a[:, :, None] * pz, axis=1).astype(
-            opair_ref.dtype
-        )
+    o_ref[0, 0] = jnp.dot(a_c, v, preferred_element_type=f32).astype(o_ref.dtype)
+    opt_ref[0, 0] = jnp.dot(
+        a, vp_ref[0, 0].astype(f32), preferred_element_type=f32
+    ).astype(opt_ref.dtype)
+    # o_pair[i, d] = sum_j a[i, j] * z[i, j, d] — i-batched matvec (VPU)
+    opair_ref[0, 0] = jnp.sum(a[:, :, None] * pz, axis=1).astype(opair_ref.dtype)
 
 
 def fused_ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
                         inf: float = 1e5, interpret: bool = False):
-    """Fused attention core.
+    """Fused attention core (all per-head tensors head-major).
 
     Args:
-        q, k, v: (B, L, H*C) scalar projections (head-packed, any float dtype).
-        q_pts, k_pts: (B, L, H, Pq*3) global-frame query/key points,
+        q, k, v: (B, H, L, C) scalar projections (any float dtype).
+        q_pts, k_pts: (B, H, L, Pq*3) global-frame query/key points,
             pre-scaled by sqrt(head_weight[h]) (fp32).
-        v_pts: (B, L, H, Pv*3) global-frame value points (fp32).
+        v_pts: (B, H, L, Pv*3) global-frame value points (fp32).
         bias: (B, H, L, L) pair bias (pre-scaling).
         pair_z: (B, L, L, CZ4) down-projected pair features.
         mask: (B, L) 0/1.
     Returns:
-        o: (B, L, H*C); o_pt: (B, L, H, Pv*3) (global frame);
-        o_pair: (B, L, H, CZ4) — all fp32.
+        o: (B, H, L, C); o_pt: (B, H, L, Pv*3) (global frame);
+        o_pair: (B, H, L, CZ4) — all fp32.
     """
-    B, L, HC = q.shape
-    H = bias.shape[1]
-    C = HC // H
+    B, H, L, C = q.shape
     P3q = q_pts.shape[-1]
     P3v = v_pts.shape[-1]
     CZ4 = pair_z.shape[-1]
@@ -94,33 +86,27 @@ def fused_ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
 
     mask_bias = (inf * (mask.astype(jnp.float32) - 1.0))[:, None, :]  # (B, 1, L)
 
-    kernel = functools.partial(_kernel, H=H, C=C, s1=s1, s2=s2)
+    kernel = functools.partial(_kernel, s1=s1, s2=s2)
     out_shapes = (
-        jax.ShapeDtypeStruct((B, L, HC), jnp.float32),
-        jax.ShapeDtypeStruct((B, L, H, P3v), jnp.float32),
-        jax.ShapeDtypeStruct((B, L, H, CZ4), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, L, C), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, L, P3v), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, L, CZ4), jnp.float32),
     )
-    b3 = lambda b: (b, 0, 0)
-    b4 = lambda b: (b, 0, 0, 0)
+
+    def per_head(last):
+        return pl.BlockSpec((1, 1, L, last), lambda b, h: (b, h, 0, 0))
+
     o, o_pt, o_pair = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B, H),
         in_specs=[
-            pl.BlockSpec((1, L, HC), b3),
-            pl.BlockSpec((1, L, HC), b3),
-            pl.BlockSpec((1, L, HC), b3),
-            pl.BlockSpec((1, L, H, P3q), b4),
-            pl.BlockSpec((1, L, H, P3q), b4),
-            pl.BlockSpec((1, L, H, P3v), b4),
-            pl.BlockSpec((1, H, L, L), b4),
-            pl.BlockSpec((1, L, L, CZ4), b4),
-            pl.BlockSpec((1, 1, L), b3),
+            per_head(C), per_head(C), per_head(C),
+            per_head(P3q), per_head(P3q), per_head(P3v),
+            per_head(L),
+            pl.BlockSpec((1, L, L, CZ4), lambda b, h: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, L), lambda b, h: (b, 0, 0)),
         ],
-        out_specs=(
-            pl.BlockSpec((1, L, HC), b3),
-            pl.BlockSpec((1, L, H, P3v), b4),
-            pl.BlockSpec((1, L, H, CZ4), b4),
-        ),
+        out_specs=(per_head(C), per_head(P3v), per_head(CZ4)),
         out_shape=out_shapes,
         interpret=interpret,
     )(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask_bias)
@@ -130,39 +116,26 @@ def fused_ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
 def ipa_attention_reference(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
                             inf: float = 1e5):
     """jnp twin of the kernel (backward recompute + numerics oracle)."""
-    B, L, HC = q.shape
-    H = bias.shape[1]
-    C = HC // H
+    B, H, L, C = q.shape
     f32 = jnp.float32
     s1 = 1.0 / (3 * C) ** 0.5
     s2 = 1.0 / 3.0**0.5
-    qh = q.reshape(B, L, H, C)
-    kh = k.reshape(B, L, H, C)
-    vh = v.reshape(B, L, H, C)
-    a = jnp.einsum("bihc,bjhc->bhij", qh, kh, preferred_element_type=f32) * s1
+    a = jnp.einsum("bhic,bhjc->bhij", q, k, preferred_element_type=f32) * s1
     a = a + bias.astype(f32) * s2
     qp = q_pts.astype(f32)
     kp = k_pts.astype(f32)
-    q_sq = jnp.sum(jnp.square(qp), axis=-1)      # (B, L, H)
+    q_sq = jnp.sum(jnp.square(qp), axis=-1)      # (B, H, L)
     k_sq = jnp.sum(jnp.square(kp), axis=-1)
-    qk = jnp.einsum("bihp,bjhp->bhij", qp, kp, preferred_element_type=f32)
-    pt = (
-        q_sq.transpose(0, 2, 1)[..., :, None]
-        + k_sq.transpose(0, 2, 1)[..., None, :]
-        - 2 * qk
-    ) * -0.5
+    qk = jnp.einsum("bhip,bhjp->bhij", qp, kp, preferred_element_type=f32)
+    pt = (q_sq[..., :, None] + k_sq[..., None, :] - 2 * qk) * -0.5
     maskb = inf * (mask.astype(f32) - 1.0)
     a = a + pt + maskb[:, None, None, :]
     a = jax.nn.softmax(a, axis=-1)
     a_c = a.astype(v.dtype)
-    o = jnp.einsum("bhij,bjhc->bihc", a_c, vh, preferred_element_type=f32)
-    o_pt = jnp.einsum("bhij,bjhp->bihp", a, v_pts.astype(f32))
-    o_pair = jnp.einsum("bhij,bijd->bihd", a, pair_z.astype(f32))
-    return (
-        o.reshape(B, L, HC).astype(f32),
-        o_pt,
-        o_pair,
-    )
+    o = jnp.einsum("bhij,bhjc->bhic", a_c, v, preferred_element_type=f32)
+    o_pt = jnp.einsum("bhij,bhjp->bhip", a, v_pts.astype(f32))
+    o_pair = jnp.einsum("bhij,bijd->bhid", a, pair_z.astype(f32))
+    return o.astype(f32), o_pt, o_pair
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))

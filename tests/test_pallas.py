@@ -157,12 +157,12 @@ def ipa_inputs():
     B, L, H, C, Pq, Pv, CZ4 = 2, 16, 4, 32, 4, 6, 8
     rng = np.random.default_rng(3)
     mk = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32))
-    q = mk(B, L, H * C)
-    k = mk(B, L, H * C)
-    v = mk(B, L, H * C)
-    q_pts = mk(B, L, H, Pq * 3)
-    k_pts = mk(B, L, H, Pq * 3)
-    v_pts = mk(B, L, H, Pv * 3)
+    q = mk(B, H, L, C)
+    k = mk(B, H, L, C)
+    v = mk(B, H, L, C)
+    q_pts = mk(B, H, L, Pq * 3)
+    k_pts = mk(B, H, L, Pq * 3)
+    v_pts = mk(B, H, L, Pv * 3)
     bias = mk(B, H, L, L)
     pair_z = mk(B, L, L, CZ4)
     mask = jnp.asarray((rng.random((B, L)) > 0.15).astype(np.float32))
