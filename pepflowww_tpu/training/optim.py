@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import optax
 
 
-def make_optimizer(opt_cfg: dict, max_grad_norm: float = 100.0):
+def make_optimizer(opt_cfg: dict, max_grad_norm: float = 100.0, accum_grad: int = 1):
     """optax chain mirroring get_optimizer + clip_grad_norm_."""
     lr = float(opt_cfg.get("lr", 5e-4))
     b1 = float(opt_cfg.get("beta1", 0.9))
@@ -43,7 +43,30 @@ def make_optimizer(opt_cfg: dict, max_grad_norm: float = 100.0):
 
     # inject_hyperparams exposes opt_state.hyperparams["learning_rate"] so the
     # plateau controller can mutate it between steps without retracing.
-    return optax.inject_hyperparams(build)(learning_rate=lr)
+    tx = optax.inject_hyperparams(build)(learning_rate=lr)
+
+    # Gradient accumulation (config key `accum_grad`; present-but-disabled in
+    # the reference, configs/learn_angle.yaml:47 / train.py:122,144).
+    if accum_grad > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_grad)
+    return tx
+
+
+def _hyperparams(opt_state):
+    """Find the inject_hyperparams dict, unwrapping MultiSteps if present."""
+    if hasattr(opt_state, "hyperparams"):
+        return opt_state.hyperparams
+    if hasattr(opt_state, "inner_opt_state"):
+        return _hyperparams(opt_state.inner_opt_state)
+    raise AttributeError("no hyperparams found in optimizer state")
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(_hyperparams(opt_state)["learning_rate"])
+
+
+def set_learning_rate(opt_state, lr: float) -> None:
+    _hyperparams(opt_state)["learning_rate"] = lr
 
 
 def warmup_schedule(base_lr: float, warmup_steps: int):

@@ -136,3 +136,22 @@ def test_nan_rescue():
     step = make_train_step(model, tx, WEIGHTS, donate=False)
     params, opt_state, metrics = step(params, opt_state, bad, jax.random.PRNGKey(0))
     assert all(np.all(np.isfinite(np.asarray(x))) for x in jax.tree_util.tree_leaves(params))
+
+
+def test_grad_accumulation():
+    """accum_grad=k: params only change every k-th step, matching the mean."""
+    model, params, batch = tiny()
+    tx = make_optimizer({"type": "adam", "lr": 1e-3}, 100.0, accum_grad=2)
+    opt_state = tx.init(params)
+    step = make_train_step(model, tx, WEIGHTS, donate=False)
+    key = jax.random.PRNGKey(0)
+    p1, opt_state, _ = step(params, opt_state, batch, key)
+    # first of the pair: update is withheld
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    p2, opt_state, _ = step(p1, opt_state, batch, key)
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2))
+    )
+    assert changed

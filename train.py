@@ -56,7 +56,8 @@ def main():
         jax.distributed.initialize()
 
     from pepflowww_tpu.training.config import load_config
-    from pepflowww_tpu.training.optim import PlateauScheduler, make_optimizer
+    from pepflowww_tpu.training.optim import (PlateauScheduler, get_learning_rate,
+                                          make_optimizer, set_learning_rate)
     from pepflowww_tpu.training.train_step import make_dp_train_step, make_train_step
     from pepflowww_tpu.training import checkpoints as ckpt_lib
     from pepflowww_tpu.models.flow import FlowModel
@@ -133,7 +134,8 @@ def main():
     )["params"]
     logger.info("Number of parameters: %d", misc.count_parameters(params))
 
-    tx = make_optimizer(train_cfg["optimizer"], train_cfg["max_grad_norm"])
+    tx = make_optimizer(train_cfg["optimizer"], train_cfg["max_grad_norm"],
+                    accum_grad=int(train_cfg.get("accum_grad", 1)))
     opt_state = tx.init(params)
     sched = PlateauScheduler(
         factor=train_cfg["scheduler"]["factor"],
@@ -208,7 +210,7 @@ def main():
             m = {k: float(v) for k, v in m.items()}
             dt = time.time() - t0
             m["samples_per_sec"] = seen / dt
-            m["lr"] = float(opt_state.hyperparams["learning_rate"])
+            m["lr"] = get_learning_rate(opt_state)
             logger.info("it %d | loss %.4f | %s", it, m["loss"],
                         " ".join(f"{k}={v:.4f}" for k, v in m.items() if k.endswith("_loss")))
             metrics.log(it, m, tag="train")
@@ -217,16 +219,16 @@ def main():
                 # (the reference's val loop is disabled in-train, train.py:191-193).
                 new_lr = sched.step(m["loss"], m["lr"])
                 if new_lr != m["lr"]:
-                    opt_state.hyperparams["learning_rate"] = new_lr
+                    set_learning_rate(opt_state, new_lr)
                     logger.info("lr -> %.3g", new_lr)
             t0, seen = time.time(), 0
 
         if args.val_dataset_name and it % int(train_cfg["val_freq"]) == 0:
             val_loss = validate(it)
-            lr = float(opt_state.hyperparams["learning_rate"])
+            lr = get_learning_rate(opt_state)
             new_lr = sched.step(val_loss, lr)
             if new_lr != lr:
-                opt_state.hyperparams["learning_rate"] = new_lr
+                set_learning_rate(opt_state, new_lr)
                 logger.info("lr -> %.3g", new_lr)
 
         if (not args.debug) and it % int(train_cfg["val_freq"]) == 0 and jax.process_index() == 0:
