@@ -117,6 +117,30 @@ def mask_select_data(data: dict, mask: np.ndarray) -> dict:
     return {k: mask_select(v, mask) for k, v in data.items()}
 
 
+def index_select(v, index: np.ndarray, n: int):
+    """Select residues by integer index for length-n arrays/lists
+    (pepflow/utils/data.py:95-101)."""
+    if isinstance(v, np.ndarray) and v.shape[:1] == (n,):
+        return v[index]
+    if isinstance(v, list) and len(v) == n:
+        return [v[i] for i in index]
+    return v
+
+
+def index_select_data(data: dict, index: np.ndarray) -> dict:
+    """pepflow/utils/data.py:104-108."""
+    n = len(data["aa"])
+    return {k: index_select(v, index, n) for k, v in data.items()}
+
+
+def apply_patch_to_tensor(x_full: np.ndarray, x_patch: np.ndarray,
+                          patch_idx: np.ndarray) -> np.ndarray:
+    """Write a row patch into a copy of x_full (pepflow/utils/data.py:81-92)."""
+    out = np.array(x_full, copy=True)
+    out[patch_idx] = x_patch
+    return out
+
+
 def find_longest_true_segment(mask: np.ndarray) -> np.ndarray:
     """Boolean mask of the longest run of True values
     (pepflow/utils/data.py:127-148), vectorized."""

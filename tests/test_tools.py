@@ -88,3 +88,21 @@ def test_dssp_parser():
     assert (0, 5, 1) in ranges
     loops = find_loop_fragments(entries, min_length=3)
     assert (5, 8) in loops
+
+
+def test_index_select_and_patch(rng):
+    import numpy as np
+    from pepflowww_tpu.data.collate import (
+        apply_patch_to_tensor,
+        index_select_data,
+    )
+
+    item = make_complex(rng, pep_len=4, rec_len=6)
+    sub = index_select_data(item, np.array([0, 2, 4]))
+    assert len(sub["aa"]) == 3
+    assert len(sub["chain_id"]) == 3
+
+    x = np.zeros((5, 2))
+    patched = apply_patch_to_tensor(x, np.ones((2, 2)), np.array([1, 3]))
+    assert patched[1].sum() == 2 and patched[3].sum() == 2 and patched[0].sum() == 0
+    assert x.sum() == 0  # original untouched
