@@ -126,7 +126,10 @@ def edge_transition_bwd(edge, node_bias, edge_mask, params, g,
     Hd = CZ + 2 * CB
 
     if k_i is None:
-        budget = max(1, 2048 // L)
+        # The backward body holds x_cat, both activations, and their
+        # cotangents in fp32 — roughly 4x the forward's footprint. 512 pair
+        # rows/tile keeps it within the 16 MB scoped-vmem limit.
+        budget = max(1, 512 // L)
         k_i = max(d for d in range(1, min(L, budget) + 1) if L % d == 0)
     grid = (B, L // k_i)
     tile_p = k_i * L

@@ -64,6 +64,8 @@ def model_config_from_dict(m: dict) -> FlowModelConfig:
             seq_tfmr_num_layers=ipa.get("seq_tfmr_num_layers", 2),
             num_blocks=ipa.get("num_blocks", 6),
             dtype=ipa.get("dtype", enc.get("dtype", m.get("dtype"))),
+            use_pallas=bool(ipa.get("use_pallas", m.get("use_pallas", False))),
+            use_pallas_ipa=bool(ipa.get("use_pallas_ipa", False)),
         ),
         interpolant=InterpolantConfig(
             min_t=float(itp.get("min_t", 1e-2)),

@@ -158,3 +158,20 @@ def test_dp_sampler_matches_single_device(setup):
                                np.asarray(single["trans"]), atol=1e-4)
     np.testing.assert_array_equal(np.asarray(out["seqs"]),
                                   np.asarray(single["seqs"]))
+
+
+def test_sidechain_packing_mode(setup):
+    """sample_bb=False, sample_seq=False: backbone and sequence stay native;
+    only torsions are generated (learn_sc configuration)."""
+    model, params, batch = setup
+    out = sampling.euler_sample(
+        model, params, batch, jax.random.PRNGKey(2), num_steps=4,
+        sample_bb=False, sample_ang=True, sample_seq=False,
+    )
+    np.testing.assert_allclose(np.asarray(out["trans"]), np.asarray(out["trans_1"]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["rotmats"]), np.asarray(out["rotmats_1"]), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(out["seqs"]), np.asarray(out["seqs_1"]))
+    # angles in the generated region did change
+    gen = np.asarray(batch["generate_mask"])
+    diff = np.abs(np.asarray(out["angles"]) - np.asarray(out["angles_1"]))[gen]
+    assert diff.max() > 0.1
