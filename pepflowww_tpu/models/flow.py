@@ -18,8 +18,6 @@ Randomness is explicit: ``loss`` consumes the ``corruption`` RNG stream.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ Reproduces the reference's training numerics (`pepflow/utils/train.py:11-53`,
 from __future__ import annotations
 
 import dataclasses
-from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -13,9 +13,6 @@ elementwise before clipping.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Optional
-
 import jax
 import jax.numpy as jnp
 import optax
