@@ -111,7 +111,11 @@ class EdgeTransition(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, node_embed, edge_embed, edge_mask=None):
+    def __call__(self, node_embed, edge_embed, node_mask=None):
+        """node_mask: (B, L); the pair mask is its outer product. Taking the
+        node-level mask (not a materialized (B, L, L) one) lets the fused
+        kernel form it in VMEM — an HBM pair mask's unit lane dim tile-pads
+        128x on TPU (measured 0.19 ms/step of pure reshape at B=L=64)."""
         assert self.num_layers == 2
         c_bias = self.node_embed_size // self.node_dilation
         c_edge = self.edge_embed_in
@@ -133,7 +137,7 @@ class EdgeTransition(nn.Module):
         if self.use_pallas and not self.is_initializing():
             from pepflowww_tpu.models.pallas_edge_bwd import fused_edge_transition_vjp
 
-            mask = edge_mask if edge_mask is not None else jnp.ones((B, L, L))
+            mask = node_mask if node_mask is not None else jnp.ones((B, L))
             out = fused_edge_transition_vjp(
                 edge_embed, node_bias, mask,
                 {"k1": k1, "b1": b1, "k2": k2, "b2": b2, "k3": k3, "b3": b3,
@@ -167,7 +171,8 @@ class EdgeTransition(nn.Module):
         var = jnp.mean(jnp.square(out - mu), axis=-1, keepdims=True)
         out = (out - mu) * jax.lax.rsqrt(var + 1e-5)  # torch LayerNorm default eps
         out = out * ln_scale + ln_bias
-        if edge_mask is not None:
+        if node_mask is not None:
+            edge_mask = node_mask[:, :, None] * node_mask[:, None, :]
             out = out * edge_mask[..., None].astype(out.dtype)
         # Keep the inter-block L² pair tensor in compute precision: it is the
         # biggest recurring HBM load (read by linear_b/down_z and the next

@@ -73,14 +73,18 @@ def _kernel(edge_ref, node_ref, mask_ref,
     o = (o - mu) * jax.lax.rsqrt(var + eps)
     o = o * ln_scale_ref[:].astype(f32) + ln_bias_ref[:].astype(f32)
 
-    o = o * mask_ref[0].astype(f32)
-    out_ref[0] = o.astype(out_ref.dtype)
+    # Pair mask arrives as a (K_I, L) tile of the (B, L, L) outer-product mask
+    # — the old (B, L², 1) flattening tile-padded its unit lane dim 128x
+    # (measured 0.19 ms/step of reshape plus 5 padded DMAs per denoise).
+    pair = mask_ref[0].astype(f32)                      # (K_I, L)
+    o = o.reshape(k_i, L, -1) * pair[:, :, None]
+    out_ref[0] = o.reshape(k_i * L, -1).astype(out_ref.dtype)
 
 
 def fused_edge_transition(
     edge: jax.Array,        # (B, L, L, CZ)
     node_bias: jax.Array,   # (B, L, CB) — output of the initial node Linear
-    edge_mask: jax.Array,   # (B, L, L)
+    node_mask: jax.Array,   # (B, L) — pair mask is its outer product
     params: dict,           # flax EdgeTransition params (Linear_1..3, LayerNorm_0)
     num_layers: int = 2,
     dtype=jnp.bfloat16,
@@ -130,7 +134,8 @@ def fused_edge_transition(
     tile_p = k_i * L
 
     edge_flat = edge.reshape(B, L * L, CZ).astype(dtype)
-    mask_flat = edge_mask.reshape(B, L * L, 1).astype(dtype)
+    nm = node_mask.astype(dtype)
+    pair_mask = nm[:, :, None] * nm[:, None, :]         # (B, L, L), lane dim L
     node_bias = node_bias.astype(dtype)
 
     kernel = functools.partial(_kernel, k_i=k_i, L=L, eps=eps)
@@ -142,7 +147,7 @@ def fused_edge_transition(
         in_specs=[
             pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
             pl.BlockSpec((1, L, CB), lambda b, p: (b, 0, 0)),
-            pl.BlockSpec((1, tile_p, 1), lambda b, p: (b, p, 0)),
+            pl.BlockSpec((1, k_i, L), lambda b, p: (b, p, 0)),
             # weights: whole-array blocks, identical for every program
             pl.BlockSpec((CZ, Hp), full), pl.BlockSpec((CB, Hp), full),
             pl.BlockSpec((CB, Hp), full), pl.BlockSpec((1, Hp), full),
@@ -156,7 +161,7 @@ def fused_edge_transition(
         out_shape=jax.ShapeDtypeStruct((B, L * L, CZ), dtype),
         interpret=interpret,
     )(
-        edge_flat, node_bias, mask_flat,
+        edge_flat, node_bias, pair_mask,
         w1e, w1i, w1j, b1, w2, b2, w3h, w3e, w3i, w3j, b3, ln_scale, ln_bias,
     )
     return out.reshape(B, L, L, CZ)

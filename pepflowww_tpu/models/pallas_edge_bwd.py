@@ -36,7 +36,11 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
     node = node_ref[0].astype(f32)                    # (L, CB)
     i0 = pl.multiple_of(pl.program_id(1) * k_i, k_i)
     node_i = node_ref[0, pl.ds(i0, k_i), :].astype(f32)
-    mask = mask_ref[0].astype(f32)                    # (P, 1)
+    # Pair-mask tile (K_I, L) of the (B, L, L) outer-product mask
+    # (see pallas_edge._kernel for why it is not flattened to (B, L², 1)).
+    # Applied on a (K_I, L, CZ) view — a (K_I, L)->(K_I*L, 1) reshape would be
+    # a lane->sublane cast Mosaic cannot lower.
+    mask3 = mask_ref[0].astype(f32)                   # (K_I, L)
     g = g_ref[0].astype(f32)                          # (P, CZ)
 
     P = k_i * L
@@ -61,7 +65,8 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
     y = (o - mu) * inv
 
     # ---- backward ----
-    g_out = g * mask
+    CZo = g.shape[-1]
+    g_out = (g.reshape(k_i, L, CZo) * mask3[:, :, None]).reshape(k_i * L, CZo)
     scale = ln_scale_ref[:].astype(f32)
     d_scale = jnp.sum(g_out * y, axis=0, keepdims=True)
     d_bias = jnp.sum(g_out, axis=0, keepdims=True)
@@ -118,7 +123,7 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
     d_bias_ref[...] += d_bias.astype(d_bias_ref.dtype)
 
 
-def edge_transition_bwd(edge, node_bias, edge_mask, params, g,
+def edge_transition_bwd(edge, node_bias, node_mask, params, g,
                         eps: float = 1e-5, k_i=None, interpret: bool = False):
     """Gradients of the fused EdgeTransition w.r.t. (edge, node_bias, params)."""
     B, L, _, CZ = edge.shape
@@ -136,7 +141,8 @@ def edge_transition_bwd(edge, node_bias, edge_mask, params, g,
 
     f32 = jnp.float32
     edge_flat = edge.reshape(B, L * L, CZ)
-    mask_flat = edge_mask.reshape(B, L * L, 1)
+    nm = node_mask.astype(f32)
+    pair_mask = nm[:, :, None] * nm[:, None, :]
     g_flat = g.reshape(B, L * L, CZ).astype(f32)
 
     kernel = functools.partial(_bwd_kernel, k_i=k_i, L=L, CZ=CZ, CB=CB, eps=eps)
@@ -168,7 +174,7 @@ def edge_transition_bwd(edge, node_bias, edge_mask, params, g,
         in_specs=[
             pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
             pl.BlockSpec((1, L, CB), lambda b, p: (b, 0, 0)),
-            pl.BlockSpec((1, tile_p, 1), lambda b, p: (b, p, 0)),
+            pl.BlockSpec((1, k_i, L), lambda b, p: (b, p, 0)),
             pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
             pl.BlockSpec((Hd, Hd), full), pl.BlockSpec((1, Hd), full),
             pl.BlockSpec((Hd, Hd), full), pl.BlockSpec((1, Hd), full),
@@ -179,7 +185,7 @@ def edge_transition_bwd(edge, node_bias, edge_mask, params, g,
         out_shape=out_shapes,
         interpret=interpret,
     )(
-        edge_flat.astype(f32), node_bias.astype(f32), mask_flat.astype(f32),
+        edge_flat.astype(f32), node_bias.astype(f32), pair_mask,
         g_flat,
         params["k1"].astype(f32), params["b1"].reshape(1, -1).astype(f32),
         params["k2"].astype(f32), params["b2"].reshape(1, -1).astype(f32),
@@ -196,24 +202,24 @@ def edge_transition_bwd(edge, node_bias, edge_mask, params, g,
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def fused_edge_transition_vjp(edge, node_bias, edge_mask, params,
+def fused_edge_transition_vjp(edge, node_bias, node_mask, params,
                               dtype=jnp.bfloat16, interpret=False):
     return pallas_edge.fused_edge_transition(
-        edge, node_bias, edge_mask, params, dtype=dtype, interpret=interpret
+        edge, node_bias, node_mask, params, dtype=dtype, interpret=interpret
     )
 
 
-def _fwd(edge, node_bias, edge_mask, params, dtype, interpret):
+def _fwd(edge, node_bias, node_mask, params, dtype, interpret):
     out = pallas_edge.fused_edge_transition(
-        edge, node_bias, edge_mask, params, dtype=dtype, interpret=interpret
+        edge, node_bias, node_mask, params, dtype=dtype, interpret=interpret
     )
-    return out, (edge, node_bias, edge_mask, params)
+    return out, (edge, node_bias, node_mask, params)
 
 
 def _bwd(dtype, interpret, res, g):
-    edge, node_bias, edge_mask, params = res
+    edge, node_bias, node_mask, params = res
     d_edge, d_node, d_params = edge_transition_bwd(
-        edge, node_bias, edge_mask, params, g=g, interpret=interpret
+        edge, node_bias, node_mask, params, g=g, interpret=interpret
     )
     return (d_edge.astype(edge.dtype), d_node.astype(node_bias.dtype), None, d_params)
 

@@ -113,6 +113,85 @@ def fused_ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
     return o, o_pt, o_pair
 
 
+def _kernel_bh(q_ref, k_ref, v_ref, qp_ref, kp_ref, vp_ref, bias_ref, pz_ref,
+               maskb_ref, o_ref, opt_ref, opair_ref, *, s1: float, s2: float,
+               H: int):
+    """Batch-grid variant: one program per batch row, heads via fori_loop.
+
+    The loop bounds VMEM liveness to one head's temporaries (the fully
+    unrolled variant overflowed the 16 MB scoped-vmem limit); the pair block
+    pz stays resident across all H iterations instead of being re-fetched per
+    (batch, head) program.
+    """
+    f32 = jnp.float32
+    pz = pz_ref[0].astype(f32)                    # (L, L, CZ4)
+    maskb = maskb_ref[0]                          # (1, L)
+
+    def body(h, _):
+        q = q_ref[0, h]                           # (L, C)
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        qp = qp_ref[0, h].astype(f32)             # (L, Pq*3)
+        kp = kp_ref[0, h].astype(f32)
+
+        a = jnp.dot(q, k.T, preferred_element_type=f32) * s1
+        a = a + bias_ref[0, h].astype(f32) * s2
+        q_sq = jnp.sum(jnp.square(qp), axis=-1, keepdims=True)
+        k_sq = jnp.sum(jnp.square(kp), axis=-1, keepdims=True)
+        qk = jnp.dot(qp, kp.T, preferred_element_type=f32)
+        a = a + (q_sq + k_sq.T - 2.0 * qk) * -0.5 + maskb
+        a = jax.nn.softmax(a, axis=-1)
+        a_c = a.astype(v.dtype)
+
+        o_ref[0, h] = jnp.dot(a_c, v, preferred_element_type=f32).astype(o_ref.dtype)
+        opt_ref[0, h] = jnp.dot(
+            a, vp_ref[0, h].astype(f32), preferred_element_type=f32
+        ).astype(opt_ref.dtype)
+        opair_ref[0, h] = jnp.sum(a[:, :, None] * pz, axis=1).astype(opair_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, H, body, 0)
+
+
+def fused_ipa_attention_bh(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
+                           inf: float = 1e5, interpret: bool = False):
+    """Batch-grid twin of :func:`fused_ipa_attention` (same contract)."""
+    B, H, L, C = q.shape
+    P3q = q_pts.shape[-1]
+    P3v = v_pts.shape[-1]
+    CZ4 = pair_z.shape[-1]
+    s1 = float(1.0 / (3 * C) ** 0.5)
+    s2 = float(1.0 / 3.0**0.5)
+
+    mask_bias = (inf * (mask.astype(jnp.float32) - 1.0))[:, None, :]  # (B, 1, L)
+
+    kernel = functools.partial(_kernel_bh, s1=s1, s2=s2, H=H)
+    out_shapes = (
+        jax.ShapeDtypeStruct((B, H, L, C), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, L, P3v), jnp.float32),
+        jax.ShapeDtypeStruct((B, H, L, CZ4), jnp.float32),
+    )
+
+    def per_batch(last):
+        return pl.BlockSpec((1, H, L, last), lambda b: (b, 0, 0, 0))
+
+    o, o_pt, o_pair = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            per_batch(C), per_batch(C), per_batch(C),
+            per_batch(P3q), per_batch(P3q), per_batch(P3v),
+            per_batch(L),
+            pl.BlockSpec((1, L, L, CZ4), lambda b: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, L), lambda b: (b, 0, 0)),
+        ],
+        out_specs=(per_batch(C), per_batch(P3v), per_batch(CZ4)),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask_bias)
+    return o, o_pt, o_pair
+
+
 def ipa_attention_reference(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
                             inf: float = 1e5):
     """jnp twin of the kernel (backward recompute + numerics oracle)."""

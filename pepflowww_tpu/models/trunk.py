@@ -65,7 +65,6 @@ class GAEncoder(nn.Module):
         B, L = seqs_t.shape
 
         node_mask = res_mask.astype(node_embed.dtype)
-        edge_mask = node_mask[:, None, :] * node_mask[:, :, None]
 
         # Mix in current sequence, time, and current torsion angles (ga.py:94).
         angles_embedder = AngularEncoding(num_funcs=12)
@@ -106,7 +105,7 @@ class GAEncoder(nn.Module):
                     node_embed_size=cfg.c_s, edge_embed_in=cfg.c_z,
                     edge_embed_out=cfg.c_z, dtype=cdt,
                     use_pallas=cfg.use_pallas, name=f"edge_transition_{b}",
-                )(node_embed, edge_embed, edge_mask=edge_mask)
+                )(node_embed, edge_embed, node_mask=node_mask)
 
         pred_trans1 = tr
         pred_rotmats1 = R
