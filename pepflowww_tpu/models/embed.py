@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from pepflowww_tpu import constants as C
 from pepflowww_tpu.ops import frames
 from pepflowww_tpu.ops.dihedrals import get_backbone_dihedral_angles, pairwise_dihedrals
-from pepflowww_tpu.models.layers import AngularEncoding, MLP
+from pepflowww_tpu.models.layers import AngularEncoding, EmbedDenseGrad, MLP
 
 
 class NodeEmbedder(nn.Module):
@@ -124,7 +124,7 @@ class EdgeEmbedder(nn.Module):
         if sequence_mask is not None:
             aa = jnp.where(sequence_mask, aa, jnp.full_like(aa, C.AA.UNK))
         aa_pair = aa[:, :, None] * self.max_aa_types + aa[:, None, :]  # (N, L, L)
-        feat_aapair = nn.Embed(
+        feat_aapair = EmbedDenseGrad(
             self.max_aa_types**2, self.feat_dim,
             embedding_init=nn.initializers.normal(1.0), name="aa_pair_embed",
         )(aa_pair)
@@ -134,25 +134,30 @@ class EdgeEmbedder(nn.Module):
         relpos = jnp.clip(
             res_nb[:, :, None] - res_nb[:, None, :], -self.max_relpos, self.max_relpos
         )
-        feat_relpos = nn.Embed(
+        feat_relpos = EmbedDenseGrad(
             2 * self.max_relpos + 1, self.feat_dim,
             embedding_init=nn.initializers.normal(1.0), name="relpos_embed",
         )(relpos + self.max_relpos) * same_chain[..., None]
 
         # 15x15 inter-atom distance gaussians with learned per-aa-pair coefs.
+        # The (N, L, L, 225) intermediates run in the compute dtype: at fp32
+        # they are ~240 MB each and dominated the training step's HBM traffic
+        # (profiled ~4 ms/step of copies/converts at B=L=64).
+        cdt = self.dtype or jnp.float32
+        pos_c = pos_atoms.astype(cdt)
         d2 = jnp.sum(
-            jnp.square(pos_atoms[:, :, None, :, None] - pos_atoms[:, None, :, None, :]),
+            jnp.square(pos_c[:, :, None, :, None] - pos_c[:, None, :, None, :]),
             axis=-1,
-        ).reshape(N, L, L, A * A) * (C.ANG_TO_NM_SCALE**2)
-        coef = nn.Embed(
+        ).reshape(N, L, L, A * A) * jnp.asarray(C.ANG_TO_NM_SCALE**2, cdt)
+        coef = EmbedDenseGrad(
             self.max_aa_types**2, A * A,
             embedding_init=nn.initializers.zeros_init(), name="aapair_to_distcoef",
         )(aa_pair)
-        c = jax.nn.softplus(coef)
+        c = jax.nn.softplus(coef).astype(cdt)
         d_gauss = jnp.exp(-c * d2)
         mask_atom_pair = (
             mask_atoms[:, :, None, :, None] * mask_atoms[:, None, :, None, :]
-        ).reshape(N, L, L, A * A)
+        ).reshape(N, L, L, A * A).astype(cdt)
         feat_dist = MLP((self.feat_dim, self.feat_dim), final_activation=True,
                         dtype=self.dtype, name="distance_embed")(d_gauss * mask_atom_pair)
         feat_dist = feat_dist.astype(jnp.float32)

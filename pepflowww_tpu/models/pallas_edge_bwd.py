@@ -29,9 +29,15 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
                 d_w3_ref, d_b3_ref, d_scale_ref, d_bias_ref,
                 *, k_i: int, L: int, CZ: int, CB: int, eps: float):
     f32 = jnp.float32
+    # GEMM inputs run in the forward's compute dtype (bf16 in production —
+    # fp32 feeds the v5e MXU at 1/4 rate and tripled this kernel's runtime;
+    # it also matches the values the bf16 forward actually produced).
+    cd = w1_ref.dtype
     first = jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0)
     first_p = pl.program_id(1) == 0
 
+    # Loads/broadcasts in fp32 (a bf16 (K_I, 1, CB) broadcast intermediate is
+    # a packed-sublane shape cast Mosaic cannot lower); GEMM inputs cast to cd.
     e = edge_ref[0].astype(f32)                       # (P, CZ)
     node = node_ref[0].astype(f32)                    # (L, CB)
     i0 = pl.multiple_of(pl.program_id(1) * k_i, k_i)
@@ -46,19 +52,20 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
     P = k_i * L
     ni_b = jnp.broadcast_to(node_i[:, None, :], (k_i, L, CB)).reshape(P, CB)
     nj_b = jnp.broadcast_to(node[None, :, :], (k_i, L, CB)).reshape(P, CB)
-    x_cat = jnp.concatenate([e, ni_b, nj_b], axis=-1)  # (P, Hd)
+    x_cat = jnp.concatenate([e, ni_b, nj_b], axis=-1)  # (P, Hd), fp32
+    x_cat_c = x_cat.astype(cd)
 
-    w1 = w1_ref[:].astype(f32)
-    w2 = w2_ref[:].astype(f32)
-    w3 = w3_ref[:].astype(f32)
+    w1 = w1_ref[:]
+    w2 = w2_ref[:]
+    w3 = w3_ref[:]
 
-    # ---- recompute forward ----
-    a1 = jnp.dot(x_cat, w1, preferred_element_type=f32) + b1_ref[:].astype(f32)
+    # ---- recompute forward (GEMMs in cd, accumulation/statistics fp32) ----
+    a1 = jnp.dot(x_cat_c, w1, preferred_element_type=f32) + b1_ref[:].astype(f32)
     h1 = jax.nn.relu(a1)
-    a2 = jnp.dot(h1, w2, preferred_element_type=f32) + b2_ref[:].astype(f32)
+    a2 = jnp.dot(h1.astype(cd), w2, preferred_element_type=f32) + b2_ref[:].astype(f32)
     h2 = jax.nn.relu(a2)
     r = h2 + x_cat
-    o = jnp.dot(r, w3, preferred_element_type=f32) + b3_ref[:].astype(f32)
+    o = jnp.dot(r.astype(cd), w3, preferred_element_type=f32) + b3_ref[:].astype(f32)
     mu = jnp.mean(o, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(o - mu), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
@@ -76,19 +83,22 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
     m2 = jnp.mean(dy * y, axis=-1, keepdims=True)
     do = (dy - m1 - y * m2) * inv
 
-    dr = jnp.dot(do, w3.T, preferred_element_type=f32)
-    d_w3 = jnp.dot(r.T, do, preferred_element_type=f32)
+    do_c = do.astype(cd)
+    dr = jnp.dot(do_c, w3.T, preferred_element_type=f32)
+    d_w3 = jnp.dot(r.astype(cd).T, do_c, preferred_element_type=f32)
     d_b3 = jnp.sum(do, axis=0, keepdims=True)
 
     da2 = dr * (a2 > 0)
-    d_w2 = jnp.dot(h1.T, da2, preferred_element_type=f32)
+    da2_c = da2.astype(cd)
+    d_w2 = jnp.dot(h1.astype(cd).T, da2_c, preferred_element_type=f32)
     d_b2 = jnp.sum(da2, axis=0, keepdims=True)
-    dh1 = jnp.dot(da2, w2.T, preferred_element_type=f32)
+    dh1 = jnp.dot(da2_c, w2.T, preferred_element_type=f32)
 
     da1 = dh1 * (a1 > 0)
-    d_w1 = jnp.dot(x_cat.T, da1, preferred_element_type=f32)
+    da1_c = da1.astype(cd)
+    d_w1 = jnp.dot(x_cat_c.T, da1_c, preferred_element_type=f32)
     d_b1 = jnp.sum(da1, axis=0, keepdims=True)
-    dx = jnp.dot(da1, w1.T, preferred_element_type=f32) + dr  # residual path
+    dx = jnp.dot(da1_c, w1.T, preferred_element_type=f32) + dr  # residual path
 
     d_edge_ref[0] = dx[:, :CZ].astype(d_edge_ref.dtype)
     # node grads: sum the i-contribution over j and the j-contribution over i
@@ -124,8 +134,13 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
 
 
 def edge_transition_bwd(edge, node_bias, node_mask, params, g,
-                        eps: float = 1e-5, k_i=None, interpret: bool = False):
-    """Gradients of the fused EdgeTransition w.r.t. (edge, node_bias, params)."""
+                        eps: float = 1e-5, k_i=None, dtype=jnp.float32,
+                        interpret: bool = False):
+    """Gradients of the fused EdgeTransition w.r.t. (edge, node_bias, params).
+
+    `dtype` is the GEMM-input dtype (the forward's compute dtype); gradients
+    accumulate in fp32 regardless.
+    """
     B, L, _, CZ = edge.shape
     CB = node_bias.shape[-1]
     Hd = CZ + 2 * CB
@@ -185,11 +200,11 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
         out_shape=out_shapes,
         interpret=interpret,
     )(
-        edge_flat.astype(f32), node_bias.astype(f32), pair_mask,
+        edge_flat.astype(dtype), node_bias.astype(dtype), pair_mask,
         g_flat,
-        params["k1"].astype(f32), params["b1"].reshape(1, -1).astype(f32),
-        params["k2"].astype(f32), params["b2"].reshape(1, -1).astype(f32),
-        params["k3"].astype(f32), params["b3"].reshape(1, -1).astype(f32),
+        params["k1"].astype(dtype), params["b1"].reshape(1, -1).astype(f32),
+        params["k2"].astype(dtype), params["b2"].reshape(1, -1).astype(f32),
+        params["k3"].astype(dtype), params["b3"].reshape(1, -1).astype(f32),
         params["ln_scale"].reshape(1, -1).astype(f32),
         params["ln_bias"].reshape(1, -1).astype(f32),
     )
@@ -219,7 +234,7 @@ def _fwd(edge, node_bias, node_mask, params, dtype, interpret):
 def _bwd(dtype, interpret, res, g):
     edge, node_bias, node_mask, params = res
     d_edge, d_node, d_params = edge_transition_bwd(
-        edge, node_bias, node_mask, params, g=g, interpret=interpret
+        edge, node_bias, node_mask, params, g=g, dtype=dtype, interpret=interpret
     )
     return (d_edge.astype(edge.dtype), d_node.astype(node_bias.dtype), None, d_params)
 

@@ -58,3 +58,42 @@ def test_pairwise_distances_matches_direct():
     d = np.asarray(pairwise_distances(x))
     ref = np.linalg.norm(np.asarray(x)[0, :, None] - np.asarray(x)[0, None, :], axis=-1)
     np.testing.assert_allclose(d[0], ref, atol=1e-4)
+
+
+def test_embed_dense_grad_matches_nn_embed():
+    """EmbedDenseGrad: identical forward and matching gradients vs nn.Embed.
+
+    The backward replaces XLA's scatter-add (measured 1.8-2.6 ms/table/step
+    on v5e for (B, L, L) lookups) with a one-hot matmul; addends round to
+    bf16, so gradients match to ~1e-2 relative.
+    """
+    import flax.linen as nn
+    import jax
+
+    from pepflowww_tpu.models.layers import EmbedDenseGrad
+
+    V, D = 37, 24
+    rng = np.random.default_rng(7)
+    idx = jnp.asarray(rng.integers(0, V, size=(2, 9, 9)))
+    g_out = jnp.asarray(rng.normal(size=(2, 9, 9, D)).astype(np.float32))
+
+    m_ref = nn.Embed(V, D, embedding_init=nn.initializers.normal(1.0))
+    m_new = EmbedDenseGrad(V, D, embedding_init=nn.initializers.normal(1.0))
+    params = m_ref.init(jax.random.PRNGKey(0), idx)["params"]
+
+    out_ref = m_ref.apply({"params": params}, idx)
+    out_new = m_new.apply({"params": params}, idx)
+    np.testing.assert_array_equal(np.asarray(out_ref), np.asarray(out_new))
+
+    def loss(m):
+        def f(p):
+            return jnp.sum(m.apply({"params": p}, idx) * g_out)
+        return jax.grad(f)(params)["embedding"]
+
+    g_ref = np.asarray(loss(m_ref))
+    g_new = np.asarray(loss(m_new))
+    np.testing.assert_allclose(g_new, g_ref, rtol=2e-2, atol=1e-2)
+    # rows for indices never looked up must stay exactly zero
+    unused = sorted(set(range(V)) - set(np.asarray(idx).ravel().tolist()))
+    if unused:
+        assert np.all(g_new[unused] == 0)

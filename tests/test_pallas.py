@@ -181,6 +181,20 @@ def test_ipa_kernel_matches_reference(ipa_inputs):
                                    rtol=1e-4, atol=1e-4, err_msg=name)
 
 
+def test_ipa_kernel_bh_matches_reference(ipa_inputs):
+    """Batch-grid (heads via fori_loop) variant vs the jnp twin."""
+    from pepflowww_tpu.models.pallas_ipa import (
+        fused_ipa_attention_bh,
+        ipa_attention_reference,
+    )
+
+    ref = ipa_attention_reference(*ipa_inputs)
+    out = fused_ipa_attention_bh(*ipa_inputs, interpret=True)
+    for got, want, name in zip(out, ref, ["o", "o_pt", "o_pair"]):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+
+
 def test_ipa_kernel_vjp(ipa_inputs):
     from pepflowww_tpu.models.pallas_ipa import (
         fused_ipa_attention_vjp,
