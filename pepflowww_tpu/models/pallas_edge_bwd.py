@@ -27,7 +27,7 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
                 ln_scale_ref, ln_bias_ref,
                 d_edge_ref, d_node_ref, d_w1_ref, d_b1_ref, d_w2_ref, d_b2_ref,
                 d_w3_ref, d_b3_ref, d_scale_ref, d_bias_ref,
-                *, k_i: int, L: int, CZ: int, CB: int, eps: float):
+                *, k_i: int, L: int, CZ: int, CB: int, Hd: int, eps: float):
     f32 = jnp.float32
     # GEMM inputs run in the forward's compute dtype (bf16 in production —
     # fp32 feeds the v5e MXU at 1/4 rate and tripled this kernel's runtime;
@@ -53,7 +53,16 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
     ni_b = jnp.broadcast_to(node_i[:, None, :], (k_i, L, CB)).reshape(P, CB)
     nj_b = jnp.broadcast_to(node[None, :, :], (k_i, L, CB)).reshape(P, CB)
     x_cat = jnp.concatenate([e, ni_b, nj_b], axis=-1)  # (P, Hd), fp32
-    x_cat_c = x_cat.astype(cd)
+    Hp = w1_ref.shape[-1]
+    if Hp != Hd:
+        # Hidden width padded to the next 128 multiple (full MXU lanes);
+        # padded channels stay exactly zero through ReLU and the residual.
+        x_pad = jnp.concatenate(
+            [x_cat, jnp.zeros((P, Hp - Hd), x_cat.dtype)], axis=-1
+        )
+    else:
+        x_pad = x_cat
+    x_cat_c = x_cat.astype(cd)                        # (P, Hd) — w1 input
 
     w1 = w1_ref[:]
     w2 = w2_ref[:]
@@ -64,7 +73,7 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
     h1 = jax.nn.relu(a1)
     a2 = jnp.dot(h1.astype(cd), w2, preferred_element_type=f32) + b2_ref[:].astype(f32)
     h2 = jax.nn.relu(a2)
-    r = h2 + x_cat
+    r = h2 + x_pad
     o = jnp.dot(r.astype(cd), w3, preferred_element_type=f32) + b3_ref[:].astype(f32)
     mu = jnp.mean(o, axis=-1, keepdims=True)
     var = jnp.mean(jnp.square(o - mu), axis=-1, keepdims=True)
@@ -98,7 +107,9 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
     da1_c = da1.astype(cd)
     d_w1 = jnp.dot(x_cat_c.T, da1_c, preferred_element_type=f32)
     d_b1 = jnp.sum(da1, axis=0, keepdims=True)
-    dx = jnp.dot(da1_c, w1.T, preferred_element_type=f32) + dr  # residual path
+    # input grad: first-layer path (w1 rows span only the real features)
+    # plus the residual path (real channels of dr)
+    dx = jnp.dot(da1_c, w1.T, preferred_element_type=f32)[:, :Hd] + dr[:, :Hd]
 
     d_edge_ref[0] = dx[:, :CZ].astype(d_edge_ref.dtype)
     # node grads: sum the i-contribution over j and the j-contribution over i
@@ -146,10 +157,10 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
     Hd = CZ + 2 * CB
 
     if k_i is None:
-        # The backward body holds x_cat, both activations, and their
-        # cotangents in fp32 — roughly 4x the forward's footprint. 512 pair
-        # rows/tile keeps it within the 16 MB scoped-vmem limit.
-        budget = max(1, 512 // L)
+        # Tile sweep (profiled on v5e at flagship dims, padded hidden):
+        # 512 rows -> 2.06 ms, 1024 -> 1.73, 2048 -> 1.67 per call; 2048 still
+        # fits the 16 MB scoped-vmem limit with the bf16 GEMM-input interior.
+        budget = max(1, 2048 // L)
         k_i = max(d for d in range(1, min(L, budget) + 1) if L % d == 0)
     grid = (B, L // k_i)
     tile_p = k_i * L
@@ -160,17 +171,34 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
     pair_mask = nm[:, :, None] * nm[:, None, :]
     g_flat = g.reshape(B, L * L, CZ).astype(f32)
 
-    kernel = functools.partial(_bwd_kernel, k_i=k_i, L=L, CZ=CZ, CB=CB, eps=eps)
+    # Pad the hidden width to the next 128 multiple so the big GEMMs use full
+    # MXU lanes (mirrors the forward kernel); padded-channel grads crop below.
+    Hp = ((Hd + 127) // 128) * 128
+    w1 = params["k1"].astype(dtype)
+    b1 = params["b1"].reshape(1, -1).astype(f32)
+    w2 = params["k2"].astype(dtype)
+    b2 = params["b2"].reshape(1, -1).astype(f32)
+    w3 = params["k3"].astype(dtype)
+    if Hp != Hd:
+        pad = Hp - Hd
+        w1 = jnp.pad(w1, ((0, 0), (0, pad)))
+        b1 = jnp.pad(b1, ((0, 0), (0, pad)))
+        w2 = jnp.pad(w2, ((0, pad), (0, pad)))
+        b2 = jnp.pad(b2, ((0, 0), (0, pad)))
+        w3 = jnp.pad(w3, ((0, pad), (0, 0)))
+
+    kernel = functools.partial(_bwd_kernel, k_i=k_i, L=L, CZ=CZ, CB=CB, Hd=Hd,
+                               eps=eps)
     full = lambda *i: (0, 0)
 
     out_shapes = (
         jax.ShapeDtypeStruct((B, L * L, CZ), f32),   # d_edge
         jax.ShapeDtypeStruct((B, L, CB), f32),       # d_node
-        jax.ShapeDtypeStruct((Hd, Hd), f32),         # d_w1
-        jax.ShapeDtypeStruct((1, Hd), f32),
-        jax.ShapeDtypeStruct((Hd, Hd), f32),         # d_w2
-        jax.ShapeDtypeStruct((1, Hd), f32),
-        jax.ShapeDtypeStruct((Hd, CZ), f32),         # d_w3
+        jax.ShapeDtypeStruct((Hd, Hp), f32),         # d_w1
+        jax.ShapeDtypeStruct((1, Hp), f32),
+        jax.ShapeDtypeStruct((Hp, Hp), f32),         # d_w2
+        jax.ShapeDtypeStruct((1, Hp), f32),
+        jax.ShapeDtypeStruct((Hp, CZ), f32),         # d_w3
         jax.ShapeDtypeStruct((1, CZ), f32),
         jax.ShapeDtypeStruct((1, CZ), f32),          # d_scale
         jax.ShapeDtypeStruct((1, CZ), f32),          # d_bias
@@ -178,9 +206,9 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
     out_specs = (
         pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
         pl.BlockSpec((1, L, CB), lambda b, p: (b, 0, 0)),
-        pl.BlockSpec((Hd, Hd), full), pl.BlockSpec((1, Hd), full),
-        pl.BlockSpec((Hd, Hd), full), pl.BlockSpec((1, Hd), full),
-        pl.BlockSpec((Hd, CZ), full), pl.BlockSpec((1, CZ), full),
+        pl.BlockSpec((Hd, Hp), full), pl.BlockSpec((1, Hp), full),
+        pl.BlockSpec((Hp, Hp), full), pl.BlockSpec((1, Hp), full),
+        pl.BlockSpec((Hp, CZ), full), pl.BlockSpec((1, CZ), full),
         pl.BlockSpec((1, CZ), full), pl.BlockSpec((1, CZ), full),
     )
     outs = pl.pallas_call(
@@ -191,9 +219,9 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
             pl.BlockSpec((1, L, CB), lambda b, p: (b, 0, 0)),
             pl.BlockSpec((1, k_i, L), lambda b, p: (b, p, 0)),
             pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
-            pl.BlockSpec((Hd, Hd), full), pl.BlockSpec((1, Hd), full),
-            pl.BlockSpec((Hd, Hd), full), pl.BlockSpec((1, Hd), full),
-            pl.BlockSpec((Hd, CZ), full), pl.BlockSpec((1, CZ), full),
+            pl.BlockSpec((Hd, Hp), full), pl.BlockSpec((1, Hp), full),
+            pl.BlockSpec((Hp, Hp), full), pl.BlockSpec((1, Hp), full),
+            pl.BlockSpec((Hp, CZ), full), pl.BlockSpec((1, CZ), full),
             pl.BlockSpec((1, CZ), full), pl.BlockSpec((1, CZ), full),
         ],
         out_specs=out_specs,
@@ -202,16 +230,17 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
     )(
         edge_flat.astype(dtype), node_bias.astype(dtype), pair_mask,
         g_flat,
-        params["k1"].astype(dtype), params["b1"].reshape(1, -1).astype(f32),
-        params["k2"].astype(dtype), params["b2"].reshape(1, -1).astype(f32),
-        params["k3"].astype(dtype), params["b3"].reshape(1, -1).astype(f32),
+        w1, b1, w2, b2, w3,
+        params["b3"].reshape(1, -1).astype(f32),
         params["ln_scale"].reshape(1, -1).astype(f32),
         params["ln_bias"].reshape(1, -1).astype(f32),
     )
     (d_edge, d_node, d_w1, d_b1, d_w2, d_b2, d_w3, d_b3, d_scale, d_bias) = outs
     d_params = {
-        "k1": d_w1, "b1": d_b1[0], "k2": d_w2, "b2": d_b2[0],
-        "k3": d_w3, "b3": d_b3[0], "ln_scale": d_scale[0], "ln_bias": d_bias[0],
+        "k1": d_w1[:, :Hd], "b1": d_b1[0, :Hd],
+        "k2": d_w2[:Hd, :Hd], "b2": d_b2[0, :Hd],
+        "k3": d_w3[:Hd], "b3": d_b3[0],
+        "ln_scale": d_scale[0], "ln_bias": d_bias[0],
     }
     return d_edge.reshape(B, L, L, CZ), d_node, d_params
 
