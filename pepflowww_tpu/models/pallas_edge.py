@@ -78,7 +78,7 @@ def _kernel(edge_ref, node_ref, mask_ref,
     # (measured 0.19 ms/step of reshape plus 5 padded DMAs per denoise).
     pair = mask_ref[0].astype(f32)                      # (K_I, L)
     o = o.reshape(k_i, L, -1) * pair[:, :, None]
-    out_ref[0] = o.reshape(k_i * L, -1).astype(out_ref.dtype)
+    out_ref[0] = o.astype(out_ref.dtype)                # (K_I, L, CZ) block
 
 
 def fused_edge_transition(
@@ -157,11 +157,14 @@ def fused_edge_transition(
             pl.BlockSpec((1, CZ), full),
             pl.BlockSpec((1, CZ), full), pl.BlockSpec((1, CZ), full),
         ],
-        out_specs=pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L * L, CZ), dtype),
+        # 4-D output blocks: emitting (B, L², CZ) + reshape made XLA assign a
+        # batch-minor layout to the custom-call result at B=128 (B exactly
+        # fills a lane tile) and copy the full pair tensor 5x/step.
+        out_specs=pl.BlockSpec((1, k_i, L, CZ), lambda b, p: (b, p, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, L, L, CZ), dtype),
         interpret=interpret,
     )(
         edge_flat, node_bias, pair_mask,
         w1e, w1i, w1j, b1, w2, b2, w3h, w3e, w3i, w3j, b3, ln_scale, ln_bias,
     )
-    return out.reshape(B, L, L, CZ)
+    return out
