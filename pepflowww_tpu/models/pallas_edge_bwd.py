@@ -111,7 +111,7 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
     # plus the residual path (real channels of dr)
     dx = jnp.dot(da1_c, w1.T, preferred_element_type=f32)[:, :Hd] + dr[:, :Hd]
 
-    d_edge_ref[0] = dx[:, :CZ].astype(d_edge_ref.dtype)
+    d_edge_ref[0] = dx[:, :CZ].reshape(k_i, L, CZ).astype(d_edge_ref.dtype)
     # node grads: sum the i-contribution over j and the j-contribution over i
     d_ni = jnp.sum(dx[:, CZ:CZ + CB].reshape(k_i, L, CB), axis=1)     # (K_I, CB)
     d_nj = jnp.sum(dx[:, CZ + CB:].reshape(k_i, L, CB), axis=0)       # (L, CB)
@@ -169,7 +169,7 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
     edge_flat = edge.reshape(B, L * L, CZ)
     nm = node_mask.astype(f32)
     pair_mask = nm[:, :, None] * nm[:, None, :]
-    g_flat = g.reshape(B, L * L, CZ).astype(f32)
+    g_flat = g.reshape(B, L * L, CZ)  # native dtype; upcast per tile in VMEM
 
     # Pad the hidden width to the next 128 multiple so the big GEMMs use full
     # MXU lanes (mirrors the forward kernel); padded-channel grads crop below.
@@ -192,7 +192,7 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
     full = lambda *i: (0, 0)
 
     out_shapes = (
-        jax.ShapeDtypeStruct((B, L * L, CZ), f32),   # d_edge
+        jax.ShapeDtypeStruct((B, L, L, CZ), edge.dtype),  # d_edge
         jax.ShapeDtypeStruct((B, L, CB), f32),       # d_node
         jax.ShapeDtypeStruct((Hd, Hp), f32),         # d_w1
         jax.ShapeDtypeStruct((1, Hp), f32),
@@ -204,7 +204,7 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
         jax.ShapeDtypeStruct((1, CZ), f32),          # d_bias
     )
     out_specs = (
-        pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
+        pl.BlockSpec((1, k_i, L, CZ), lambda b, p: (b, p, 0, 0)),
         pl.BlockSpec((1, L, CB), lambda b, p: (b, 0, 0)),
         pl.BlockSpec((Hd, Hp), full), pl.BlockSpec((1, Hp), full),
         pl.BlockSpec((Hp, Hp), full), pl.BlockSpec((1, Hp), full),
@@ -242,7 +242,7 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
         "k3": d_w3[:Hd], "b3": d_b3[0],
         "ln_scale": d_scale[0], "ln_bias": d_bias[0],
     }
-    return d_edge.reshape(B, L, L, CZ), d_node, d_params
+    return d_edge, d_node, d_params
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
