@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from pepflowww_tpu import constants as C
 from pepflowww_tpu.ops import frames
 from pepflowww_tpu.ops.dihedrals import get_backbone_dihedral_angles, pairwise_dihedrals
-from pepflowww_tpu.models.layers import AngularEncoding, EmbedDenseGrad, MLP
+from pepflowww_tpu.models.layers import (AngularEncoding, EmbedDenseGrad, MLP,
+                                          _take_dense_grad)
 
 
 class NodeEmbedder(nn.Module):
@@ -95,6 +96,35 @@ class NodeEmbedder(nn.Module):
         return out * mask_residue[:, :, None]
 
 
+class _NamedEmbeddingParams(nn.Module):
+    """Raw embedding table with the nn.Embed tree path ({name}/embedding)."""
+
+    num_embeddings: int
+    features: int
+    embedding_init: object = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self):
+        return self.param(
+            "embedding", self.embedding_init, (self.num_embeddings, self.features)
+        )
+
+
+class _DistMLPParams(nn.Module):
+    """distance_embed MLP params (Linear_0/Linear_1 tree paths)."""
+
+    feat: int
+    in_dim: int
+
+    @nn.compact
+    def __call__(self):
+        from pepflowww_tpu.models.ipa import _NamedDenseParams
+
+        k1, b1 = _NamedDenseParams(self.feat, self.in_dim, "torch", name="Linear_0")()
+        k2, b2 = _NamedDenseParams(self.feat, self.feat, "torch", name="Linear_1")()
+        return k1, b1, k2, b2
+
+
 class EdgeEmbedder(nn.Module):
     """Pair features -> (B, L, L, feat_dim) (edge.py:11-112)."""
 
@@ -103,6 +133,7 @@ class EdgeEmbedder(nn.Module):
     max_aa_types: int = C.MAX_AA_TYPES
     max_relpos: int = 32
     dtype: object = None
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, aa, res_nb, chain_nb, pos_atoms, mask_atoms,
@@ -140,29 +171,48 @@ class EdgeEmbedder(nn.Module):
         )(relpos + self.max_relpos) * same_chain[..., None]
 
         # 15x15 inter-atom distance gaussians with learned per-aa-pair coefs.
-        # The (N, L, L, 225) intermediates run in the compute dtype: at fp32
-        # they are ~240 MB each and dominated the training step's HBM traffic
-        # (profiled ~4 ms/step of copies/converts at B=L=64).
+        # Raw params (nn.Embed/MLP-compatible tree paths) shared between the
+        # fused Pallas kernel and the XLA graph.
         cdt = self.dtype or jnp.float32
-        pos_c = pos_atoms.astype(cdt)
-        d2 = jnp.sum(
-            jnp.square(pos_c[:, :, None, :, None] - pos_c[:, None, :, None, :]),
-            axis=-1,
-        ).reshape(N, L, L, A * A) * jnp.asarray(C.ANG_TO_NM_SCALE**2, cdt)
-        coef = EmbedDenseGrad(
-            self.max_aa_types**2, A * A,
-            embedding_init=nn.initializers.zeros_init(), name="aapair_to_distcoef",
-        )(aa_pair)
-        c = jax.nn.softplus(coef).astype(cdt)
-        d_gauss = jnp.exp(-c * d2)
-        mask_atom_pair = (
-            mask_atoms[:, :, None, :, None] * mask_atoms[:, None, :, None, :]
-        ).reshape(N, L, L, A * A).astype(cdt)
-        feat_dist = MLP((self.feat_dim, self.feat_dim), final_activation=True,
-                        dtype=self.dtype, name="distance_embed")(d_gauss * mask_atom_pair)
-        feat_dist = feat_dist.astype(jnp.float32)
-        if pair_structure_mask is not None:
-            feat_dist = feat_dist * pair_structure_mask[..., None]
+        V = self.max_aa_types**2
+        table = _NamedEmbeddingParams(V, A * A, name="aapair_to_distcoef")()
+        dk1, db1, dk2, db2 = _DistMLPParams(self.feat_dim, A * A,
+                                            name="distance_embed")()
+
+        if self.use_pallas and not self.is_initializing():
+            from pepflowww_tpu.models.pallas_dist import fused_distance_embed_vjp
+
+            pm = (pair_structure_mask if pair_structure_mask is not None
+                  else jnp.ones((N, L, L)))
+            feat_dist = fused_distance_embed_vjp(
+                pos_atoms * C.ANG_TO_NM_SCALE, mask_atoms,
+                aa_pair.astype(jnp.int32), pm,
+                table, dk1, db1, dk2, db2,
+                cdt if self.dtype is not None else jnp.float32,
+            ).astype(jnp.float32)
+        else:
+            # The (N, L, L, 225) intermediates run in the compute dtype: at
+            # fp32 they are ~240 MB each and dominated the training step's
+            # HBM traffic (profiled ~4 ms/step of copies/converts at B=L=64).
+            pos_c = pos_atoms.astype(cdt)
+            d2 = jnp.sum(
+                jnp.square(pos_c[:, :, None, :, None] - pos_c[:, None, :, None, :]),
+                axis=-1,
+            ).reshape(N, L, L, A * A) * jnp.asarray(C.ANG_TO_NM_SCALE**2, cdt)
+            coef = _take_dense_grad(table, aa_pair, V)
+            c = jax.nn.softplus(coef).astype(cdt)
+            d_gauss = jnp.exp(-c * d2)
+            mask_atom_pair = (
+                mask_atoms[:, :, None, :, None] * mask_atoms[:, None, :, None, :]
+            ).reshape(N, L, L, A * A).astype(cdt)
+            x = (d_gauss * mask_atom_pair).astype(cdt)
+            h = nn.relu(jnp.einsum("bijc,cf->bijf", x, dk1.astype(cdt)) + db1.astype(cdt))
+            feat_dist = nn.relu(
+                jnp.einsum("bijc,cf->bijf", h, dk2.astype(cdt)) + db2.astype(cdt)
+            )
+            feat_dist = feat_dist.astype(jnp.float32)
+            if pair_structure_mask is not None:
+                feat_dist = feat_dist * pair_structure_mask[..., None]
 
         # Inter-residue phi/psi dihedrals.
         dihed = pairwise_dihedrals(pos_atoms)  # (N, L, L, 2)

@@ -58,7 +58,9 @@ class FlowModel(nn.Module):
     def setup(self):
         cdt = self.cfg.ipa.compute_dtype
         self.node_embedder = NodeEmbedder(self.cfg.node_embed_size, dtype=cdt)
-        self.edge_embedder = EdgeEmbedder(self.cfg.edge_embed_size, dtype=cdt)
+        self.edge_embedder = EdgeEmbedder(
+            self.cfg.edge_embed_size, dtype=cdt, use_pallas=self.cfg.ipa.use_pallas
+        )
         self.ga_encoder = GAEncoder(self.cfg.ipa)
 
     # ------------------------------------------------------------------
