@@ -119,9 +119,9 @@ def fused_distance_embed(
     xr, xt, sr, st, mr, mt = _precompute_expansions(pos_nm, mask_atoms)
 
     if k_i is None:
-        # (K_I, L, 225) fp32 temporaries dominate VMEM; 16 rows keeps the
-        # body ~7 MB at L=64.
-        budget = max(1, 1024 // L)
+        # Tile sweep on v5e at flagship dims: 512 rows -> 0.88 ms,
+        # 1024 -> 0.79, 2048 -> 0.77 per fwd call (bwd 1.76/1.61/1.42).
+        budget = max(1, 2048 // L)
         k_i = max(d for d in range(1, min(L, budget) + 1) if L % d == 0)
     grid = (B, L // k_i)
 
@@ -280,7 +280,7 @@ def distance_embed_bwd(pos_nm, mask_atoms, aa_pair, pair_mask, table,
     xr, xt, sr, st, mr, mt = _precompute_expansions(pos_nm, mask_atoms)
 
     if k_i is None:
-        budget = max(1, 1024 // L)
+        budget = max(1, 2048 // L)
         k_i = max(d for d in range(1, min(L, budget) + 1) if L % d == 0)
     grid = (B, L // k_i)
 
