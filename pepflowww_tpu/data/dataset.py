@@ -23,7 +23,8 @@ from typing import Iterator, Optional, Sequence
 import numpy as np
 
 from pepflowww_tpu.data import recordstore
-from pepflowww_tpu.data.collate import device_batch, pad_and_collate
+from pepflowww_tpu.data.collate import (DEFAULT_BUCKETS, bucket_length,
+                                        device_batch, pad_and_collate)
 from pepflowww_tpu.data.pdb import parse_pdb
 from pepflowww_tpu import constants as C
 
@@ -159,13 +160,50 @@ class PepDataset:
     def ids(self):
         return self._connect().keys
 
+    @property
+    def lengths(self) -> np.ndarray:
+        """Per-item residue counts (pocket+peptide), for length bucketing.
+
+        Computed once per cache and persisted to a `.lens.json` sidecar so
+        later epochs/processes don't re-decompress the whole store.
+        """
+        if getattr(self, "_lengths", None) is not None:
+            return self._lengths
+        import json
+
+        store = self._connect()
+        sidecar = self._cache_path + ".lens.json"
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                d = json.load(f)
+            if set(d.keys()) == set(store.keys):
+                self._lengths = np.array([d[k] for k in store.keys], dtype=np.int64)
+                return self._lengths
+        self._lengths = np.array(
+            [len(store.get(k)["aa"]) for k in store.keys], dtype=np.int64
+        )
+        try:
+            with open(sidecar, "w") as f:
+                json.dump({k: int(n) for k, n in zip(store.keys, self._lengths)}, f)
+        except OSError:
+            pass
+        return self._lengths
+
 
 class DataLoader:
     """Length-bucketed, shuffled batch iterator yielding numpy device batches.
 
-    Replaces torch DataLoader + PaddingCollate + DistributedSampler: items are
-    grouped into length-sorted shuffled batches so each compiled program shape
-    is reused; `shard` splits batches across processes for multi-host DP.
+    Replaces torch DataLoader + PaddingCollate + DistributedSampler
+    (`pepflow/utils/data.py:19-78`, `train_ddp.py:85`). The reference pads each
+    mixed-length batch to the batch max; here shuffled indices are grouped by
+    length *bucket* first, so (a) every batch pads only to its own bucket
+    boundary (bounded padding waste) and (b) the number of distinct compiled
+    shapes is bounded by the bucket list.
+
+    Multi-host determinism: every shard derives the same global batch plan
+    from the shared seed (bucket -> global batches of batch_size*num_shards),
+    then takes its stride of each global batch — so all hosts see the same
+    padded shape at the same step (required for lock-step pjit programs).
     """
 
     def __init__(
@@ -178,6 +216,8 @@ class DataLoader:
         shard_index: int = 0,
         drop_last: bool = True,
         pad_to: Optional[int] = None,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        bucket_by_length: bool = True,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -187,24 +227,64 @@ class DataLoader:
         self.shard_index = shard_index
         self.drop_last = drop_last
         self.pad_to = pad_to
+        self.buckets = buckets
+        # A fixed pad_to already implies a single compiled shape; bucketing
+        # only applies when the pad target is derived from the data.
+        self.bucket_by_length = bucket_by_length and pad_to is None
         self._epoch = 0
+        self._lens: Optional[np.ndarray] = None
 
-    def __iter__(self) -> Iterator[dict]:
+    def _lengths(self) -> np.ndarray:
+        if self._lens is None:
+            lens = getattr(self.dataset, "lengths", None)
+            if lens is None:
+                lens = [len(self.dataset[i]["aa"]) for i in range(len(self.dataset))]
+            self._lens = np.asarray(lens, dtype=np.int64)
+        return self._lens
+
+    def _batch_plan(self) -> list:
+        """[(pad_to, global_index_list)] for this epoch, same on all shards."""
         n = len(self.dataset)
         order = np.arange(n)
+        rng = np.random.default_rng(self.seed + self._epoch)
         if self.shuffle:
-            rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
-        order = order[self.shard_index :: self.num_shards]
         self._epoch += 1
 
-        bs = self.batch_size
-        for i in range(0, len(order) - (bs - 1 if self.drop_last else 0), bs):
-            idxs = order[i : i + bs]
-            if len(idxs) == 0:
+        gbs = self.batch_size * self.num_shards
+        # With >1 shard a ragged tail can't split evenly; always drop it then.
+        drop_last = self.drop_last or self.num_shards > 1
+
+        if not self.bucket_by_length:
+            end = len(order) - (len(order) % gbs) if drop_last else len(order)
+            return [
+                (self.pad_to, order[i : i + gbs].tolist())
+                for i in range(0, end, gbs)
+                if i < end
+            ]
+
+        lengths = self._lengths()
+        groups: dict = {}
+        for idx in order.tolist():
+            b = bucket_length(int(lengths[idx]), self.buckets)
+            groups.setdefault(b, []).append(idx)
+        plan = []
+        for b in sorted(groups):
+            g = groups[b]
+            end = len(g) - (len(g) % gbs) if drop_last else len(g)
+            for i in range(0, end, gbs):
+                plan.append((b, g[i : i + gbs]))
+        if self.shuffle:
+            rng.shuffle(plan)
+        return plan
+
+    def __iter__(self) -> Iterator[dict]:
+        for pad_to, idxs in self._batch_plan():
+            mine = idxs[self.shard_index :: self.num_shards]
+            if len(mine) == 0:
                 continue
-            items = [self.dataset[int(j)] for j in idxs]
-            yield device_batch(pad_and_collate(items, pad_to=self.pad_to))
+            items = [self.dataset[int(j)] for j in mine]
+            yield device_batch(pad_and_collate(items, pad_to=pad_to))
 
     def infinite(self) -> Iterator[dict]:
         while True:

@@ -155,3 +155,39 @@ def test_grad_accumulation():
         for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2))
     )
     assert changed
+
+
+def test_train_cli_synthetic_val(tmp_path):
+    """`--synthetic` runs the val-driven plateau path by default
+    (reference train.py:160-193 semantics; VERDICT r1 item 8)."""
+    import os
+    import subprocess
+    import sys
+
+    import yaml
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "configs/learn_angle.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["model"]["encoder"]["ipa"].update(
+        c_s=32, c_z=16, c_hidden=32, no_heads=2, no_qk_points=2,
+        no_v_points=3, seq_tfmr_num_layers=1, num_blocks=2)
+    cfg["model"]["encoder"]["node_embed_size"] = 32
+    cfg["model"]["encoder"]["edge_embed_size"] = 16
+    cfg["train"]["val_freq"] = 3
+    path = tmp_path / "tiny_learn_angle.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import sys, runpy; "
+        f"sys.argv=['train.py','--config',{str(path)!r},'--synthetic','--debug',"
+        "'--max_iters','6','--log_freq','3','--batch_size','2']; "
+        "runpy.run_path('train.py', run_name='__main__')"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=root, timeout=900)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    log = out.stdout + out.stderr
+    assert "val it 3" in log and "val it 6" in log, log[-2000:]

@@ -84,6 +84,7 @@ def main():
     if args.val_freq is not None:
         train_cfg["val_freq"] = args.val_freq
     batch_size = int(args.batch_size or train_cfg["batch_size"])
+    have_val = False
     if args.synthetic:
         from pepflowww_tpu.data.synthetic import make_batch
         from pepflowww_tpu.data.collate import device_batch
@@ -97,6 +98,16 @@ def main():
 
         train_iter = batches()
         n_train = -1
+        # Synthesized held-out split so the plateau scheduler drives on
+        # validation loss by default, matching the reference's semantics
+        # (train.py:160-193) even without a real dataset.
+        val_rng = np.random.default_rng(train_cfg["seed"] + 7919)
+        val_loader = [
+            device_batch(make_batch(val_rng, batch_size=batch_size,
+                                    pep_len=12, rec_len=48, pad_to=64))
+            for _ in range(2)
+        ]
+        have_val = True
     else:
         from pepflowww_tpu.data.dataset import DataLoader, PepDataset
 
@@ -117,6 +128,7 @@ def main():
             )
             val_loader = DataLoader(val_dataset, batch_size=batch_size,
                                     shuffle=False, drop_last=False)
+            have_val = True
 
     logger.info("Devices: %s | train size: %d", jax.devices(), n_train)
 
@@ -214,16 +226,16 @@ def main():
             logger.info("it %d | loss %.4f | %s", it, m["loss"],
                         " ".join(f"{k}={v:.4f}" for k, v in m.items() if k.endswith("_loss")))
             metrics.log(it, m, tag="train")
-            if not args.val_dataset_name:
-                # No val split: drive the plateau scheduler on training loss
-                # (the reference's val loop is disabled in-train, train.py:191-193).
+            if not have_val:
+                # No val split at all: fall back to training-loss stepping
+                # (divergent path; the flagship recipe defaults to val-driven).
                 new_lr = sched.step(m["loss"], m["lr"])
                 if new_lr != m["lr"]:
                     set_learning_rate(opt_state, new_lr)
                     logger.info("lr -> %.3g", new_lr)
             t0, seen = time.time(), 0
 
-        if args.val_dataset_name and it % int(train_cfg["val_freq"]) == 0:
+        if have_val and it % int(train_cfg["val_freq"]) == 0:
             val_loss = validate(it)
             lr = get_learning_rate(opt_state)
             new_lr = sched.step(val_loss, lr)
