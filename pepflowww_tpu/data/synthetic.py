@@ -34,7 +34,13 @@ def _random_rotmats(rng: np.random.Generator, shape):
 def _cpu_device():
     import jax
 
-    return jax.local_devices(backend="cpu")[0]
+    try:
+        return jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        # The axon plugin's backend registry only exposes the cpu backend
+        # after the full platform init; trigger it and retry once.
+        jax.devices()
+        return jax.local_devices(backend="cpu")[0]
 
 
 def _build_pos15(aa: np.ndarray, R: np.ndarray, t: np.ndarray, angles: np.ndarray):

@@ -28,6 +28,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from pepflowww_tpu.models.pallas_common import resolve_interpret
+
 A = 15          # heavy atoms per residue
 AA2 = A * A     # 225 atom pairs
 
@@ -106,9 +108,10 @@ def fused_distance_embed(
     k2: jax.Array, b2: jax.Array,   # distance_embed Linear_1
     dtype=jnp.bfloat16,
     k_i=None,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Fused (masked gaussian of d²) -> 2-layer ReLU MLP. Returns (B, L, L, F)."""
+    interpret = resolve_interpret(interpret)
     B, L, A_, _ = pos_nm.shape
     assert A_ == A
     V, AA2_ = table.shape
@@ -269,8 +272,9 @@ def _bwd_kernel(xr0_ref, xr1_ref, xr2_ref, sr_ref, mr_ref,
 
 def distance_embed_bwd(pos_nm, mask_atoms, aa_pair, pair_mask, table,
                        k1, b1, k2, b2, g, dtype=jnp.float32, k_i=None,
-                       interpret: bool = False):
+                       interpret: bool | None = None):
     """Parameter gradients (d_table, d_k1, d_b1, d_k2, d_b2)."""
+    interpret = resolve_interpret(interpret)
     B, L, A_, _ = pos_nm.shape
     V = table.shape[0]
     F = k1.shape[-1]
@@ -335,7 +339,7 @@ def distance_embed_bwd(pos_nm, mask_atoms, aa_pair, pair_mask, table,
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def fused_distance_embed_vjp(pos_nm, mask_atoms, aa_pair, pair_mask, table,
                              k1, b1, k2, b2, dtype=jnp.bfloat16,
-                             interpret=False):
+                             interpret=None):
     return fused_distance_embed(pos_nm, mask_atoms, aa_pair, pair_mask, table,
                                 k1, b1, k2, b2, dtype=dtype,
                                 interpret=interpret)

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from pepflowww_tpu.models.pallas_common import resolve_interpret
+
 
 def _kernel(edge_ref, node_ref, mask_ref,
             w1e_ref, w1i_ref, w1j_ref, b1_ref,
@@ -90,10 +92,11 @@ def fused_edge_transition(
     dtype=jnp.bfloat16,
     eps: float = 1e-5,  # torch LayerNorm default, matches the XLA path
     k_i: Optional[int] = None,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> jax.Array:
     """Apply the fused kernel; numerically equivalent to the XLA EdgeTransition
     (post node-bias Linear) at compute precision `dtype`."""
+    interpret = resolve_interpret(interpret)
     assert num_layers == 2, "kernel fuses the 2-layer reference configuration"
     B, L, _, CZ = edge.shape
     CB = node_bias.shape[-1]

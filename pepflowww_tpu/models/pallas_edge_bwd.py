@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from pepflowww_tpu.models import pallas_edge
+from pepflowww_tpu.models.pallas_common import resolve_interpret
 
 
 def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
@@ -146,12 +147,13 @@ def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
 
 def edge_transition_bwd(edge, node_bias, node_mask, params, g,
                         eps: float = 1e-5, k_i=None, dtype=jnp.float32,
-                        interpret: bool = False):
+                        interpret: bool | None = None):
     """Gradients of the fused EdgeTransition w.r.t. (edge, node_bias, params).
 
     `dtype` is the GEMM-input dtype (the forward's compute dtype); gradients
     accumulate in fp32 regardless.
     """
+    interpret = resolve_interpret(interpret)
     B, L, _, CZ = edge.shape
     CB = node_bias.shape[-1]
     Hd = CZ + 2 * CB
@@ -247,7 +249,7 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_edge_transition_vjp(edge, node_bias, node_mask, params,
-                              dtype=jnp.bfloat16, interpret=False):
+                              dtype=jnp.bfloat16, interpret=None):
     return pallas_edge.fused_edge_transition(
         edge, node_bias, node_mask, params, dtype=dtype, interpret=interpret
     )

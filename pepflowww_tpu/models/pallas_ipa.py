@@ -27,6 +27,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
+from pepflowww_tpu.models.pallas_common import resolve_interpret
+
 
 def _kernel(q_ref, k_ref, v_ref, qp_ref, kp_ref, vp_ref, bias_ref, pz_ref,
             maskb_ref, o_ref, opt_ref, opair_ref, *, s1: float, s2: float):
@@ -62,7 +64,7 @@ def _kernel(q_ref, k_ref, v_ref, qp_ref, kp_ref, vp_ref, bias_ref, pz_ref,
 
 
 def fused_ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
-                        inf: float = 1e5, interpret: bool = False):
+                        inf: float = 1e5, interpret: bool | None = None):
     """Fused attention core (all per-head tensors head-major).
 
     Args:
@@ -77,6 +79,7 @@ def fused_ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
         o: (B, H, L, C); o_pt: (B, H, L, Pv*3) (global frame);
         o_pair: (B, H, L, CZ4) — all fp32.
     """
+    interpret = resolve_interpret(interpret)
     B, H, L, C = q.shape
     P3q = q_pts.shape[-1]
     P3v = v_pts.shape[-1]
@@ -154,8 +157,9 @@ def _kernel_bh(q_ref, k_ref, v_ref, qp_ref, kp_ref, vp_ref, bias_ref, pz_ref,
 
 
 def fused_ipa_attention_bh(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
-                           inf: float = 1e5, interpret: bool = False):
+                           inf: float = 1e5, interpret: bool | None = None):
     """Batch-grid twin of :func:`fused_ipa_attention` (same contract)."""
+    interpret = resolve_interpret(interpret)
     B, H, L, C = q.shape
     P3q = q_pts.shape[-1]
     P3v = v_pts.shape[-1]
@@ -219,7 +223,7 @@ def ipa_attention_reference(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
 def fused_ipa_attention_vjp(q, k, v, q_pts, k_pts, v_pts, bias, pair_z, mask,
-                            inf=1e5, interpret=False):
+                            inf=1e5, interpret=None):
     return fused_ipa_attention(q, k, v, q_pts, k_pts, v_pts, bias, pair_z,
                                mask, inf=inf, interpret=interpret)
 

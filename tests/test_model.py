@@ -175,3 +175,30 @@ def test_sidechain_packing_mode(setup):
     gen = np.asarray(batch["generate_mask"])
     diff = np.abs(np.asarray(out["angles"]) - np.asarray(out["angles_1"]))[gen]
     assert diff.max() > 0.1
+
+
+def test_dp_sampler_flagship_dims():
+    """DP sampler on the 8-device CPU mesh at flagship dims with the TPU
+    profile (bf16 + Pallas kernels, auto-interpret off TPU) — the real serving
+    graph under SPMD partitioning (VERDICT r1 item 5)."""
+    from pepflowww_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(11)
+    batch = device_batch(make_batch(rng, batch_size=8, pep_len=6, rec_len=18,
+                                    pad_to=64))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    model = FlowModel(FlowModelConfig(ipa=IPAConfig(dtype="bfloat16",
+                                                    use_pallas=True)))
+    params = jax.jit(model.init)(
+        {"params": jax.random.PRNGKey(0), "corruption": jax.random.PRNGKey(1)},
+        batch,
+    )["params"]
+    mesh = make_mesh(8)
+    dp = sampling.make_dp_sampler(model, mesh, num_steps=2)
+    out = dp(replicate(params, mesh), shard_batch(batch, mesh),
+             jax.random.PRNGKey(3))
+    assert out["trans"].shape == (8, 64, 3)
+    assert np.isfinite(np.asarray(out["trans"])).all()
+    assert np.isfinite(np.asarray(out["angles"])).all()
