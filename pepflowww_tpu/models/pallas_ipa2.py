@@ -72,7 +72,7 @@ def _fwd_kernel(q_ref, kv_ref, qp_ref, kvp_ref, r_ref, t_ref, bias_ref,
 
     def to_global(ref, h, lo, hi, scale):
         """Per-coordinate global points [(L, hi-lo)] * 3 — R x + t, scaled."""
-        xs = [ref[0, h, d][:, lo:hi].astype(F32) for d in range(3)]
+        xs = [ref[0, h, d, :, lo:hi].astype(F32) for d in range(3)]
         return [
             (rcol(c, 0) * xs[0] + rcol(c, 1) * xs[1] + rcol(c, 2) * xs[2]
              + tcol(c)) * scale
@@ -80,9 +80,9 @@ def _fwd_kernel(q_ref, kv_ref, qp_ref, kvp_ref, r_ref, t_ref, bias_ref,
         ]
 
     for h in range(H):
-        q_h = q_ref[0][:, h * C : (h + 1) * C]
-        k_h = kv_ref[0][:, 2 * h * C : 2 * h * C + C]
-        v_h = kv_ref[0][:, 2 * h * C + C : 2 * h * C + 2 * C]
+        q_h = q_ref[0, :, h * C : (h + 1) * C]
+        k_h = kv_ref[0, :, 2 * h * C : 2 * h * C + C]
+        v_h = kv_ref[0, :, 2 * h * C + C : 2 * h * C + 2 * C]
 
         a = jnp.dot(q_h, k_h.T, preferred_element_type=F32) * s1
         a = a + bias_ref[0, h].astype(F32) * s2
@@ -102,7 +102,7 @@ def _fwd_kernel(q_ref, kv_ref, qp_ref, kvp_ref, r_ref, t_ref, bias_ref,
         a = jax.nn.softmax(a, axis=-1)
         a_c = a.astype(v_h.dtype)
 
-        o_ref[0][:, h * C : (h + 1) * C] = jnp.dot(
+        o_ref[0, :, h * C : (h + 1) * C] = jnp.dot(
             a_c, v_h, preferred_element_type=F32
         ).astype(o_ref.dtype)
 
@@ -112,13 +112,13 @@ def _fwd_kernel(q_ref, kv_ref, qp_ref, kvp_ref, r_ref, t_ref, bias_ref,
         for c in range(3):
             # inverse transform: R^T (o_pt_global - t)
             loc_c = rcol(0, c) * dif[0] + rcol(1, c) * dif[1] + rcol(2, c) * dif[2]
-            optl_ref[0][:, c * H * Pv + h * Pv : c * H * Pv + (h + 1) * Pv] = (
+            optl_ref[0, :, c * H * Pv + h * Pv : c * H * Pv + (h + 1) * Pv] = (
                 loc_c.astype(optl_ref.dtype)
             )
             nsq = nsq + jnp.square(loc_c)
-        norm_ref[0][:, h * Pv : (h + 1) * Pv] = jnp.sqrt(nsq).astype(norm_ref.dtype)
+        norm_ref[0, :, h * Pv : (h + 1) * Pv] = jnp.sqrt(nsq).astype(norm_ref.dtype)
 
-        opair_ref[0][:, h * CZ4 : (h + 1) * CZ4] = jnp.sum(
+        opair_ref[0, :, h * CZ4 : (h + 1) * CZ4] = jnp.sum(
             a[:, :, None] * pz.astype(F32), axis=1
         ).astype(opair_ref.dtype)
 
@@ -209,16 +209,16 @@ def _bwd_kernel(q_ref, kv_ref, qp_ref, kvp_ref, r_ref, t_ref, bias_ref,
 
     for h in range(H):
         # ---- recompute forward (flash-style; no attention residuals) ----
-        q_h = q_ref[0][:, h * C : (h + 1) * C]
-        k_h = kv_ref[0][:, 2 * h * C : 2 * h * C + C]
-        v_h = kv_ref[0][:, 2 * h * C + C : 2 * h * C + 2 * C]
+        q_h = q_ref[0, :, h * C : (h + 1) * C]
+        k_h = kv_ref[0, :, 2 * h * C : 2 * h * C + C]
+        v_h = kv_ref[0, :, 2 * h * C + C : 2 * h * C + 2 * C]
         a = jnp.dot(q_h, k_h.T, preferred_element_type=F32) * s1
         a = a + bias_ref[0, h].astype(F32) * s2
 
         sw_h = sw_ref[0, h]
-        xq = [[qp_ref[0, h, d][:, 0:Pq].astype(F32) for d in range(3)]]
-        xk = [kvp_ref[0, h, d][:, 0:Pq].astype(F32) for d in range(3)]
-        xv = [kvp_ref[0, h, d][:, Pq:Pq + Pv].astype(F32) for d in range(3)]
+        xq = [[qp_ref[0, h, d, :, 0:Pq].astype(F32) for d in range(3)]]
+        xk = [kvp_ref[0, h, d, :, 0:Pq].astype(F32) for d in range(3)]
+        xv = [kvp_ref[0, h, d, :, Pq:Pq + Pv].astype(F32) for d in range(3)]
         xq = xq[0]
 
         def fwd_tfm(xs, scale):
@@ -253,13 +253,13 @@ def _bwd_kernel(q_ref, kv_ref, qp_ref, kvp_ref, r_ref, t_ref, bias_ref,
         norm = jnp.sqrt(nsq)
 
         # ---- gradients ----
-        go_h = go_ref[0][:, h * C : (h + 1) * C].astype(F32)
-        gnorm_h = gnorm_ref[0][:, h * Pv : (h + 1) * Pv].astype(F32)
-        gopair_h = gopair_ref[0][:, h * CZ4 : (h + 1) * CZ4].astype(F32)
+        go_h = go_ref[0, :, h * C : (h + 1) * C].astype(F32)
+        gnorm_h = gnorm_ref[0, :, h * Pv : (h + 1) * Pv].astype(F32)
+        gopair_h = gopair_ref[0, :, h * CZ4 : (h + 1) * CZ4].astype(F32)
 
         # norm -> local points; local -> global output points
         goptl = [
-            goptl_ref[0][:, c * H * Pv + h * Pv : c * H * Pv + (h + 1) * Pv]
+            goptl_ref[0, :, c * H * Pv + h * Pv : c * H * Pv + (h + 1) * Pv]
             .astype(F32) + optl[c] * gnorm_h / norm
             for c in range(3)
         ]
@@ -270,11 +270,11 @@ def _bwd_kernel(q_ref, kv_ref, qp_ref, kvp_ref, r_ref, t_ref, bias_ref,
         # d R from the inverse transform: optl_c = sum_d R[d,c] * dif_d
         for d in range(3):
             for c in range(3):
-                gr_ref[0][:, 3 * d + c : 3 * d + c + 1] += jnp.sum(
+                gr_ref[0, :, 3 * d + c : 3 * d + c + 1] += jnp.sum(
                     dif[d] * goptl[c], axis=-1, keepdims=True
                 ).astype(gr_ref.dtype)
         for d in range(3):
-            gt_ref[0][:, d : d + 1] += -jnp.sum(
+            gt_ref[0, :, d : d + 1] += -jnp.sum(
                 goptg[d], axis=-1, keepdims=True
             ).astype(gt_ref.dtype)
 
@@ -284,7 +284,7 @@ def _bwd_kernel(q_ref, kv_ref, qp_ref, kvp_ref, r_ref, t_ref, bias_ref,
             g_a = g_a + jnp.dot(goptg[c], vg[c].T, preferred_element_type=F32)
         g_a = g_a + jnp.sum(gopair_h[:, None, :] * pz, axis=-1)
 
-        gkv_ref[0][:, 2 * h * C + C : 2 * h * C + 2 * C] = jnp.dot(
+        gkv_ref[0, :, 2 * h * C + C : 2 * h * C + 2 * C] = jnp.dot(
             a_c.T, go_h.astype(v_h.dtype), preferred_element_type=F32
         ).astype(gkv_ref.dtype)
         gvg = [jnp.dot(at, goptg[c], preferred_element_type=F32) for c in range(3)]
@@ -294,10 +294,10 @@ def _bwd_kernel(q_ref, kv_ref, qp_ref, kvp_ref, r_ref, t_ref, bias_ref,
         gs = a * (g_a - jnp.sum(a * g_a, axis=-1, keepdims=True))
         gst = gs.T
         gbias_ref[0, h] = (gs * s2).astype(gbias_ref.dtype)
-        gq_ref[0][:, h * C : (h + 1) * C] = (
+        gq_ref[0, :, h * C : (h + 1) * C] = (
             jnp.dot(gs.astype(k_h.dtype), k_h, preferred_element_type=F32) * s1
         ).astype(gq_ref.dtype)
-        gkv_ref[0][:, 2 * h * C : 2 * h * C + C] = (
+        gkv_ref[0, :, 2 * h * C : 2 * h * C + C] = (
             jnp.dot(gst.astype(q_h.dtype), q_h, preferred_element_type=F32) * s1
         ).astype(gkv_ref.dtype)
 
@@ -324,15 +324,15 @@ def _bwd_kernel(q_ref, kv_ref, qp_ref, kvp_ref, r_ref, t_ref, bias_ref,
             for d in range(3):
                 gx_d = (rcol(0, d) * gu[0] + rcol(1, d) * gu[1]
                         + rcol(2, d) * gu[2]) * scale
-                out_ref[0, h, d][:, lo:lo + gx_d.shape[-1]] = gx_d.astype(
+                out_ref[0, h, d, :, lo:lo + gx_d.shape[-1]] = gx_d.astype(
                     out_ref.dtype
                 )
             for c in range(3):
-                gt_ref[0][:, c : c + 1] += (
+                gt_ref[0, :, c : c + 1] += (
                     jnp.sum(gu[c], axis=-1, keepdims=True) * scale
                 ).astype(gt_ref.dtype)
                 for d in range(3):
-                    gr_ref[0][:, 3 * c + d : 3 * c + d + 1] += (
+                    gr_ref[0, :, 3 * c + d : 3 * c + d + 1] += (
                         jnp.sum(xs[d] * gu[c], axis=-1, keepdims=True) * scale
                     ).astype(gr_ref.dtype)
 

@@ -43,9 +43,12 @@ class IPAConfig:
     num_blocks: int = 6
     dtype: str | None = None
     use_pallas: bool = False
-    # The fused IPA kernel is correct and tested, but this image's remote AOT
-    # compiler fails on graphs carrying both kernel families (11 pallas calls
-    # per denoise); keep it opt-in until profiled on direct-attached hardware.
+    # Selects the fully fused IPA interior (models/pallas_ipa2.py: in-kernel
+    # frame transforms + attention + hand-written backward). Correct and
+    # gradient-tested, but measured SLOWER than the XLA einsum path at the
+    # benchmark dims (see PERF.md "The IPA kernel battle"): the interior is
+    # instruction-latency bound and XLA's batched einsums win. Kept opt-in
+    # for future chips/dims where the balance shifts.
     use_pallas_ipa: bool = False
 
     @property

@@ -331,3 +331,105 @@ def test_edge_embedder_use_pallas_matches():
     finally:
         pd.fused_distance_embed = orig
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+# ---------------------------------------------------------------- IPA v2
+def _ipa2_inputs(L=16, B=2, H=4, C=32, Pq=4, Pv=6, CZ4=16):
+    from pepflowww_tpu.ops import so3
+
+    rng = np.random.default_rng(0)
+
+    def arr(*s):
+        return jnp.asarray(rng.normal(size=s), jnp.float32)
+
+    R = so3.rotvec_to_rotmat(arr(B, L, 3))
+    mask = (rng.uniform(size=(B, L)) > 0.2).astype(np.float32)
+    maskb = jnp.asarray(1e5 * (mask - 1.0))[:, None, :]
+    return (arr(B, L, H * C), arr(B, L, 2 * H * C),
+            arr(B, H, 3, L, Pq), arr(B, H, 3, L, Pq + Pv),
+            R.reshape(B, L, 9), arr(B, L, 3),
+            arr(B, H, L, L), arr(B, L, L, CZ4), maskb,
+            jnp.abs(arr(1, H)) + 0.5)
+
+
+def test_fused_ipa2_forward_parity():
+    """Fused IPA interior (frame transforms + attention + aggregations)
+    matches the jnp twin."""
+    from pepflowww_tpu.models import pallas_ipa2 as P
+
+    args = _ipa2_inputs()
+    ref = P.ipa2_reference(*args)
+    out = jax.jit(lambda *a: P.fused_ipa2(*a, interpret=True))(*args)
+    for name, a, b in zip(("o", "optl", "norm", "opair"), out, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4,
+                                   err_msg=name)
+
+
+def test_fused_ipa2_backward_parity():
+    """Hand-written backward kernel (flash-style softmax recompute) matches
+    jax.grad through the twin for every input incl. frames and head weights."""
+    from pepflowww_tpu.models import pallas_ipa2 as P
+
+    args = _ipa2_inputs()
+
+    def loss(f):
+        def inner(a):
+            out = f(*a)
+            return sum(jnp.sum(x * (i + 1)) for i, x in enumerate(out))
+        return inner
+
+    g_fused = jax.grad(loss(lambda *a: P.fused_ipa2_vjp(*a, True)))(args)
+    g_ref = jax.grad(loss(P.ipa2_reference))(args)
+    names = ("q", "kv", "qp", "kvp", "r9", "t", "bias", "pz", "maskb", "sw")
+    for n, a, b in zip(names, g_fused, g_ref):
+        if n == "maskb":
+            continue  # 0/-inf gate, no gradient by design
+        scale = float(jnp.max(jnp.abs(b))) + 1e-8
+        np.testing.assert_allclose(np.asarray(a) / scale, np.asarray(b) / scale,
+                                   atol=1e-3, err_msg=n)
+
+
+def test_ipa_module_pallas_matches_xla():
+    """InvariantPointAttention(use_pallas=True) == XLA path on valid rows,
+    forward and gradients."""
+    from pepflowww_tpu.models.ipa import InvariantPointAttention
+    from pepflowww_tpu.ops import so3
+
+    rng = np.random.default_rng(1)
+    B, L, cs, cz = 2, 16, 64, 32
+
+    def arr(*s):
+        return jnp.asarray(rng.normal(size=s), jnp.float32)
+
+    s = arr(B, L, cs)
+    z = arr(B, L, L, cz)
+    R = so3.rotvec_to_rotmat(arr(B, L, 3))
+    t = arr(B, L, 3)
+    mask_np = np.ones((B, L), np.float32)
+    mask_np[:, -3:] = 0.0
+    mask = jnp.asarray(mask_np)
+
+    kw = dict(c_s=cs, c_z=cz, c_hidden=32, no_heads=4, no_qk_points=4,
+              no_v_points=6)
+    m_x = InvariantPointAttention(**kw, use_pallas=False)
+    m_p = InvariantPointAttention(**kw, use_pallas=True)
+    p = m_x.init(jax.random.PRNGKey(0), s, z, R, t, mask)["params"]
+    out_x = m_x.apply({"params": p}, s, z, R, t, mask)
+    out_p = jax.jit(lambda *a: m_p.apply({"params": p}, *a))(s, z, R, t, mask)
+    valid = np.asarray(mask, bool)
+    np.testing.assert_allclose(np.asarray(out_p)[valid],
+                               np.asarray(out_x)[valid], atol=2e-4)
+
+    def loss(params, mod):
+        o = mod.apply({"params": params}, s, z, R, t, mask)
+        return jnp.sum(jnp.square(o) * mask[..., None])
+
+    g_x = jax.grad(loss)(p, m_x)
+    g_p = jax.grad(loss)(p, m_p)
+    flat_x = jax.tree_util.tree_leaves_with_path(g_x)
+    flat_p = jax.tree_util.tree_leaves_with_path(g_p)
+    for (kx, vx), (_, vp) in zip(flat_x, flat_p):
+        scale = float(jnp.max(jnp.abs(vx))) + 1e-8
+        np.testing.assert_allclose(np.asarray(vp) / scale,
+                                   np.asarray(vx) / scale, atol=5e-3,
+                                   err_msg=jax.tree_util.keystr(kx))
