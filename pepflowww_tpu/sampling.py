@@ -189,14 +189,40 @@ def euler_sample(
 
 def make_sampler(model: FlowModel, num_steps: int = 100, sample_bb: bool = True,
                  sample_ang: bool = True, sample_seq: bool = True,
-                 return_traj: bool = False):
-    """Build a jit'd sampler fn(params, batch, key) -> outputs."""
+                 return_traj: bool = False, microbatch: int | None = 64):
+    """Build a jit'd sampler fn(params, batch, key) -> outputs.
 
-    @functools.partial(jax.jit, donate_argnums=())
-    def fn(params, batch, key):
+    `microbatch`: per-chip parallel-batch optimum. Measured on v5e (PERF.md
+    batch sweep): throughput/chip PEAKS at B=64 and regresses beyond (XLA
+    assigns batch-minor layouts to the L² pair tensors once the batch fills a
+    lane tile, inserting full-tensor copies around the einsums). Batches
+    larger than `microbatch` therefore run as sequential B=microbatch chunks
+    via `lax.map` inside the same jit — a B=128 call keeps the B=64
+    throughput instead of losing ~10%. Set `microbatch=None` to disable.
+    """
+
+    def sample_chunk(params, batch, key):
         return euler_sample(
             model, params, batch, key, num_steps=num_steps, sample_bb=sample_bb,
             sample_ang=sample_ang, sample_seq=sample_seq, return_traj=return_traj,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=())
+    def fn(params, batch, key):
+        B = batch["aa"].shape[0]
+        if microbatch is None or B <= microbatch or B % microbatch != 0:
+            return sample_chunk(params, batch, key)
+        k = B // microbatch
+        chunked = {
+            name: v.reshape((k, microbatch) + v.shape[1:])
+            for name, v in batch.items()
+        }
+        keys = jax.random.split(key, k)
+        out = jax.lax.map(
+            lambda args: sample_chunk(params, args[0], args[1]), (chunked, keys)
+        )
+        return jax.tree.map(
+            lambda v: v.reshape((B,) + v.shape[2:]), out
         )
 
     return fn

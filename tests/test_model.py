@@ -202,3 +202,25 @@ def test_dp_sampler_flagship_dims():
     assert out["trans"].shape == (8, 64, 3)
     assert np.isfinite(np.asarray(out["trans"])).all()
     assert np.isfinite(np.asarray(out["angles"])).all()
+
+
+def test_sampler_microbatching(setup):
+    """Batches above the per-chip optimum run as sequential lax.map chunks
+    inside one jit (PERF.md batch sweep: B>64 regresses via XLA batch-minor
+    pair-tensor layouts); outputs keep shape and chunks draw distinct noise."""
+    model, params, batch = setup
+    big = {k: jnp.concatenate([v] * 4, axis=0) for k, v in batch.items()}
+    fn = sampling.make_sampler(model, num_steps=2, microbatch=4)
+    out = fn(params, big, jax.random.PRNGKey(0))
+    B, L = big["aa"].shape
+    assert out["trans"].shape == (B, L, 3)
+    assert np.isfinite(np.asarray(out["trans"])).all()
+    # different chunks get split keys -> different generated noise
+    t = np.asarray(out["trans"])
+    gen = np.asarray(big["generate_mask"][0]).astype(bool)
+    assert not np.allclose(t[0][gen], t[4][gen])
+
+    # microbatch=None path unchanged
+    fn_plain = sampling.make_sampler(model, num_steps=2, microbatch=None)
+    out_plain = fn_plain(params, big, jax.random.PRNGKey(0))
+    assert out_plain["trans"].shape == (B, L, 3)

@@ -62,3 +62,63 @@ def test_sampler_statistics_match_reference(golden):
     check("rot_dev", rot_dev, g["rot_dev"])
     check("aar", aar, g["aar"], extra=0.05)
     check("trans_norm", trans_norm, g["trans_norm"])
+
+
+def test_trained_sampler_statistics_match_reference(golden):
+    """Sampler parity against a TRAINED reference oracle (VERDICT r1 item 2).
+
+    tools/make_golden_trained.py trains the reference for a few hundred CPU
+    steps (its own 6-loss objective), then samples NUM_SAMPLES replicas of a
+    memorized complex. Trained weights make the statistics sharp (CA deviation
+    near the data, AAR far above 1/20), so the 2-sigma bounds here would catch
+    a subtly wrong exp-rate schedule, re-masking, or torsion-zeroing bug that
+    the random-init fixture's near-degenerate statistics could hide.
+    """
+    g = golden("sampler_stats_trained")
+    nb = int(g["num_blocks"])
+    steps = int(g["num_steps"])
+    n = int(g["num_samples"])
+
+    # The fixture itself must be non-degenerate: training memorized the
+    # sampled complex (guards against regenerating with a broken trainer).
+    assert float(np.mean(g["aar"])) > 0.3, "fixture not trained enough"
+    assert float(np.mean(g["ca_dev"])) < 6.0, "fixture not trained enough"
+
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_state_dict(sd, num_blocks=nb, seq_tfmr_num_layers=2)
+    model = FlowModel(FlowModelConfig(ipa=IPAConfig(num_blocks=nb)))
+    batch = {k[6:]: jnp.asarray(g[k]) for k in g.files if k.startswith("batch_")}
+
+    out = sampling.euler_sample(
+        model, params, batch, jax.random.PRNGKey(9), num_steps=steps,
+    )
+    gen = np.asarray(batch["generate_mask"]).astype(bool)
+
+    trans = np.asarray(out["trans"])
+    trans_1 = np.asarray(out["trans_1"])
+    rot = np.asarray(out["rotmats"])
+    rot_1 = np.asarray(out["rotmats_1"])
+    seqs = np.asarray(out["seqs"])
+    seqs_1 = np.asarray(out["seqs_1"])
+
+    ca_dev = np.sqrt((np.square(trans - trans_1).sum(-1) * gen).sum(-1) / gen.sum(-1))
+    rot_dev = np.sqrt((np.square(rot - rot_1).sum((-1, -2)) * gen).sum(-1) / gen.sum(-1))
+    aar = ((seqs == seqs_1) * gen).sum(-1) / gen.sum(-1)
+    trans_norm = np.sqrt((np.square(trans).sum(-1) * gen).sum(-1) / gen.sum(-1))
+
+    def check(name, ours, ref_vals):
+        ref_mean = float(np.mean(ref_vals))
+        our_mean = float(np.mean(ours))
+        # two-sample 2-sigma bound on the difference of means (both samplers
+        # draw n replicas, independent RNGs)
+        sem = np.sqrt(np.var(ref_vals) / n + np.var(ours) / len(ours))
+        tol = 2.0 * float(sem) + max(0.05 * float(np.std(ref_vals)), 1e-3)
+        assert abs(our_mean - ref_mean) <= tol, (
+            f"{name}: ours {our_mean:.4f} vs trained ref {ref_mean:.4f} "
+            f"(tol {tol:.4f}, ref std {float(np.std(ref_vals)):.4f})"
+        )
+
+    check("ca_dev", ca_dev, g["ca_dev"])
+    check("rot_dev", rot_dev, g["rot_dev"])
+    check("aar", aar, g["aar"])
+    check("trans_norm", trans_norm, g["trans_norm"])
