@@ -82,7 +82,8 @@ def test_trained_sampler_statistics_match_reference(golden):
     # The fixture itself must be non-degenerate: training memorized the
     # sampled complex (guards against regenerating with a broken trainer).
     assert float(np.mean(g["aar"])) > 0.3, "fixture not trained enough"
-    assert float(np.mean(g["ca_dev"])) < 6.0, "fixture not trained enough"
+    # trained translations reach data scale (random-init sits near 1.7)
+    assert float(np.mean(g["trans_norm"])) > 4.0, "fixture not trained enough"
 
     sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
     params = convert_state_dict(sd, num_blocks=nb, seq_tfmr_num_layers=2)
