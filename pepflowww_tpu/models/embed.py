@@ -168,6 +168,7 @@ class EdgeEmbedder(nn.Module):
         feat_relpos = EmbedDenseGrad(
             2 * self.max_relpos + 1, self.feat_dim,
             embedding_init=nn.initializers.normal(1.0), name="relpos_embed",
+            dtype=self.dtype,
         )(relpos + self.max_relpos) * same_chain[..., None]
 
         # 15x15 inter-atom distance gaussians with learned per-aa-pair coefs.

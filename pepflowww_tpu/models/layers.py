@@ -81,16 +81,35 @@ class MLP(nn.Module):
         return x
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
-def _take_dense_grad(table, idx, num_embeddings):
+def _lookup(table, idx, num_embeddings, dtype=None):
+    # On the bf16 compute path, small-vocab pair lookups run the FORWARD as a
+    # bf16 one-hot GEMM: a (B, L, L) gather from a <=128-row table measured
+    # ~0.5 ms/step on v5e (gathers dispatch per row) while the (N, V)x(V, D)
+    # matmul is bandwidth-bound on the output alone (train step 42.9 ->
+    # 41.8 ms). The bf16 rounding of the table values matches the rest of the
+    # compute path (cf. the distance-gaussian block); with dtype=None the
+    # lookup stays an exact gather, so fp32 golden parity is bit-preserved.
+    if dtype is not None and num_embeddings <= 128:
+        onehot = jax.nn.one_hot(idx.reshape(-1), num_embeddings, dtype=dtype)
+        out = jax.lax.dot_general(
+            onehot, table.astype(dtype),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(table.dtype)
+        return out.reshape(idx.shape + table.shape[1:])
     return jnp.take(table, idx, axis=0)
 
 
-def _take_dense_grad_fwd(table, idx, num_embeddings):
-    return jnp.take(table, idx, axis=0), idx
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _take_dense_grad(table, idx, num_embeddings, dtype=None):
+    return _lookup(table, idx, num_embeddings, dtype)
 
 
-def _take_dense_grad_bwd(num_embeddings, idx, g):
+def _take_dense_grad_fwd(table, idx, num_embeddings, dtype):
+    return _lookup(table, idx, num_embeddings, dtype), idx
+
+
+def _take_dense_grad_bwd(num_embeddings, dtype, idx, g):
     # One-hot GEMM instead of scatter-add: XLA's scatter over the ~262k pair
     # indices of a (B, L, L) lookup measured 1.8-2.6 ms/table/step on v5e; the
     # equivalent (N, V)ᵀ·(N, D) matmul with bf16 addends and fp32 accumulation
@@ -119,13 +138,14 @@ class EmbedDenseGrad(nn.Module):
     num_embeddings: int
     features: int
     embedding_init: object = nn.initializers.normal(1.0)
+    dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, idx):
         table = self.param(
             "embedding", self.embedding_init, (self.num_embeddings, self.features)
         )
-        return _take_dense_grad(table, idx, self.num_embeddings)
+        return _take_dense_grad(table, idx, self.num_embeddings, self.dtype)
 
 
 class AngularEncoding(nn.Module):
