@@ -157,3 +157,112 @@ def load_torch_checkpoint(path: str) -> dict:
     sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
     sd = {k: v.numpy() if hasattr(v, "numpy") else v for k, v in sd.items()}
     return convert_state_dict(sd)
+
+
+# ------------------------------------------------------------------ export
+def _x_dense(sd, prefix, p):
+    sd[f"{prefix}.weight"] = np.asarray(p["kernel"]).T
+    if "bias" in p:
+        sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _x_mlp(sd, prefix, p, module_cls="Linear"):
+    """Inverse of `_mlp`: Linears sit at even indices of the reference's
+    nn.Sequential(Linear, ReLU, Linear, ...) stacks (node.py:96-103,
+    edge.py:30-37, ga.py:22-36)."""
+    li = 0
+    while True:
+        key = f"{module_cls}_{li}" if module_cls else f"layers_{li}"
+        if key not in p:
+            break
+        _x_dense(sd, f"{prefix}.{2 * li}", p[key]["Dense_0"])
+        li += 1
+
+
+def _x_layernorm(sd, prefix, p):
+    sd[f"{prefix}.weight"] = np.asarray(p["scale"])
+    sd[f"{prefix}.bias"] = np.asarray(p["bias"])
+
+
+def _x_embed(sd, prefix, p):
+    sd[f"{prefix}.weight"] = np.asarray(p["embedding"])
+
+
+def _x_tfmr_layer(sd, prefix, p):
+    sd[f"{prefix}.self_attn.in_proj_weight"] = np.asarray(p["in_proj"]["kernel"]).T
+    sd[f"{prefix}.self_attn.in_proj_bias"] = np.asarray(p["in_proj"]["bias"])
+    _x_dense(sd, f"{prefix}.self_attn.out_proj", p["out_proj"]["Dense_0"])
+    _x_dense(sd, f"{prefix}.linear1", p["linear1"]["Dense_0"])
+    _x_dense(sd, f"{prefix}.linear2", p["linear2"]["Dense_0"])
+    _x_layernorm(sd, f"{prefix}.norm1", p["norm1"])
+    _x_layernorm(sd, f"{prefix}.norm2", p["norm2"])
+
+
+def export_state_dict(params: dict, num_blocks: int = 6,
+                      seq_tfmr_num_layers: int = 2) -> Dict[str, np.ndarray]:
+    """Flax params -> reference FlowModel state_dict (inverse of
+    `convert_state_dict`).
+
+    Lets TPU-trained checkpoints run inside the reference ecosystem (its
+    inference.py/sample.py/eval scripts): `model.load_state_dict(
+    {k: torch.from_numpy(v) for k, v in export_state_dict(params).items()})`.
+    Exact inverse — tests/test_convert.py round-trips it against a real
+    reference state_dict.
+    """
+    sd: Dict[str, np.ndarray] = {}
+
+    def freq_bands(n):
+        # AngularEncoding's registered (non-learned) buffer in the reference
+        # (pepflow/modules/common/layers.py:92-113); flax computes it inline.
+        return np.asarray([float(i + 1) for i in range(n)]
+                          + [1.0 / (i + 1) for i in range(n)], np.float32)
+
+    sd["node_embedder.dihed_embed.freq_bands"] = freq_bands(3)
+    sd["edge_embedder.dihedral_embed.freq_bands"] = freq_bands(3)
+    sd["ga_encoder.angles_embedder.freq_bands"] = freq_bands(12)
+
+    node = params["node_embedder"]
+    _x_embed(sd, "node_embedder.aatype_embed", node["Embed_0"])
+    _x_mlp(sd, "node_embedder.mlp", node["MLP_0"])
+
+    edge = params["edge_embedder"]
+    _x_embed(sd, "edge_embedder.aa_pair_embed", edge["aa_pair_embed"])
+    _x_embed(sd, "edge_embedder.relpos_embed", edge["relpos_embed"])
+    _x_embed(sd, "edge_embedder.aapair_to_distcoef", edge["aapair_to_distcoef"])
+    _x_mlp(sd, "edge_embedder.distance_embed", edge["distance_embed"])
+    _x_mlp(sd, "edge_embedder.out_mlp", edge["out_mlp"])
+
+    ga = params["ga_encoder"]
+    _x_embed(sd, "ga_encoder.current_seq_embedder", ga["current_seq_embedder"])
+    _x_mlp(sd, "ga_encoder.res_feat_mixer", ga["res_feat_mixer"])
+    _x_mlp(sd, "ga_encoder.seq_net", ga["seq_net"])
+    _x_mlp(sd, "ga_encoder.angle_net", ga["angle_net"])
+    for b in range(num_blocks):
+        ipa_p = f"ga_encoder.trunk.ipa_{b}"
+        ipa = ga[f"ipa_{b}"]
+        for name in ("linear_q", "linear_kv", "linear_q_points",
+                     "linear_kv_points", "linear_b", "down_z", "linear_out"):
+            _x_dense(sd, f"{ipa_p}.{name}", ipa[name]["Dense_0"])
+        sd[f"{ipa_p}.head_weights"] = np.asarray(ipa["head_weights"])
+        _x_layernorm(sd, f"ga_encoder.trunk.ipa_ln_{b}", ga[f"ipa_ln_{b}"])
+        for l in range(seq_tfmr_num_layers):
+            _x_tfmr_layer(sd, f"ga_encoder.trunk.seq_tfmr_{b}.layers.{l}",
+                          ga[f"seq_tfmr_{b}"][f"layers_{l}"])
+        _x_dense(sd, f"ga_encoder.trunk.post_tfmr_{b}", ga[f"post_tfmr_{b}"]["Dense_0"])
+        nt = f"ga_encoder.trunk.node_transition_{b}"
+        ntp = ga[f"node_transition_{b}"]
+        _x_dense(sd, f"{nt}.linear_1", ntp["Linear_0"]["Dense_0"])
+        _x_dense(sd, f"{nt}.linear_2", ntp["Linear_1"]["Dense_0"])
+        _x_dense(sd, f"{nt}.linear_3", ntp["Linear_2"]["Dense_0"])
+        _x_layernorm(sd, f"{nt}.ln", ntp["LayerNorm_0"])
+        _x_dense(sd, f"ga_encoder.trunk.bb_update_{b}.linear",
+                 ga[f"bb_update_{b}"]["Linear_0"]["Dense_0"])
+        if b < num_blocks - 1:
+            et = f"ga_encoder.trunk.edge_transition_{b}"
+            etp = ga[f"edge_transition_{b}"]
+            _x_dense(sd, f"{et}.initial_embed", etp["Linear_0"]["Dense_0"])
+            _x_dense(sd, f"{et}.trunk.0", etp["Linear_1"]["Dense_0"])
+            _x_dense(sd, f"{et}.trunk.2", etp["Linear_2"]["Dense_0"])
+            _x_dense(sd, f"{et}.final_layer", etp["Linear_3"]["Dense_0"])
+            _x_layernorm(sd, f"{et}.layer_norm", etp["LayerNorm_0"])
+    return sd

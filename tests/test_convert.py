@@ -6,6 +6,8 @@ synthetic batch. Converting the weights and running our modules must
 reproduce every output — this is the end-to-end architecture check.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -81,3 +83,73 @@ def test_denoise_parity(parity):
         np.cos(np.asarray(pred_ang) - g["pred_angles"]),
     )
     np.testing.assert_allclose(d, np.zeros_like(d), atol=5e-3)
+
+
+def test_export_roundtrip_against_reference_state_dict(golden):
+    """export_state_dict is the exact inverse of convert_state_dict, verified
+    against a REAL reference FlowModel.state_dict (from the trained sampler
+    fixture): identical key set, identical values."""
+    from pepflowww_tpu.convert import convert_state_dict, export_state_dict
+
+    g = golden("sampler_stats_trained")
+    nb = int(g["num_blocks"])
+    sd_ref = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_state_dict(sd_ref, num_blocks=nb, seq_tfmr_num_layers=2)
+    sd_out = export_state_dict(params, num_blocks=nb, seq_tfmr_num_layers=2)
+
+    assert set(sd_out.keys()) == set(sd_ref.keys()), (
+        sorted(set(sd_ref) - set(sd_out))[:5], sorted(set(sd_out) - set(sd_ref))[:5])
+    for k in sd_ref:
+        np.testing.assert_array_equal(np.asarray(sd_out[k]),
+                                      np.asarray(sd_ref[k]), err_msg=k)
+
+
+def test_export_checkpoint_cli(tmp_path):
+    """tools/export_checkpoint.py: orbax checkpoint -> reference .pt whose
+    tensors load back through convert_state_dict unchanged."""
+    import subprocess
+    import sys as _sys
+
+    import jax
+
+    from pepflowww_tpu.convert import convert_state_dict
+    from pepflowww_tpu.data.collate import device_batch
+    from pepflowww_tpu.data.synthetic import make_batch
+    from pepflowww_tpu.models.flow import FlowModel, FlowModelConfig
+    from pepflowww_tpu.models.trunk import IPAConfig
+    from pepflowww_tpu.training import checkpoints as ckpt_lib
+    from pepflowww_tpu.training.optim import make_optimizer
+
+    rng = np.random.default_rng(0)
+    batch = device_batch(make_batch(rng, batch_size=2, pep_len=5, rec_len=9, pad_to=16))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    cfg = FlowModelConfig(ipa=IPAConfig(c_hidden=32, no_heads=4, no_qk_points=4,
+                                        no_v_points=6, seq_tfmr_num_layers=1,
+                                        num_blocks=2))
+    model = FlowModel(cfg)
+    params = model.init({"params": jax.random.PRNGKey(0),
+                         "corruption": jax.random.PRNGKey(1)}, batch)["params"]
+    tx = make_optimizer({"type": "adam", "lr": 1e-4}, max_grad_norm=100.0)
+    path = ckpt_lib.save_checkpoint(str(tmp_path / "ck"), 7, params,
+                                    tx.init(params), {"lr": 1e-4})
+
+    out_pt = tmp_path / "export.pt"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [_sys.executable, os.path.join(root, "tools/export_checkpoint.py"),
+         "--ckpt", path, "--out", str(out_pt),
+         "--num_blocks", "2", "--seq_tfmr_num_layers", "1"],
+        capture_output=True, text=True, timeout=600)
+    assert res.returncode == 0, (res.stdout[-1500:], res.stderr[-1500:])
+
+    import torch
+
+    sd = {k: v.numpy() for k, v in
+          torch.load(str(out_pt), weights_only=False)["model"].items()}
+    back = convert_state_dict(sd, num_blocks=2, seq_tfmr_num_layers=1)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    for (ka, va), (_, vb) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb), atol=0,
+                                   err_msg=jax.tree_util.keystr(ka))
