@@ -112,3 +112,68 @@ def evaluate_sample(sample_out: dict, batch: dict) -> dict:
         ),
         "tm_score": tm_score(trans, trans_1, gen),
     }
+
+
+# ------------------------------------------------------------- aggregation
+def summarize_outputs(rows: "list[dict]") -> dict:
+    """Paper-table aggregation of per-sample metric rows (the step the
+    reference performs in its stripped playgrounds notebooks after
+    models_con/inference.py writes outputs.csv).
+
+    `rows`: dicts with at least {id, ca_rmsd_aligned or ca_rmsd, aar}
+    (sample.py / inference.py row schema; extra numeric columns are
+    aggregated too). Returns:
+      per_complex: {id: {n, best_rmsd, median_rmsd, mean_aar, ...}}
+      overall: means over complexes of the per-complex statistics, plus
+      success rates (fraction of complexes whose BEST sample lands under
+      2 A / 5 A aligned CA-RMSD — the "designability" style table rows).
+    """
+    import collections
+    import statistics
+
+    by_id = collections.defaultdict(list)
+    for r in rows:
+        by_id[r["id"]].append(r)
+
+    rmsd_key = "ca_rmsd_aligned" if rows and "ca_rmsd_aligned" in rows[0] else "ca_rmsd"
+    per_complex = {}
+    for cid, rs in by_id.items():
+        rmsds = [float(r[rmsd_key]) for r in rs]
+        entry = {
+            "n": len(rs),
+            "best_rmsd": min(rmsds),
+            "median_rmsd": statistics.median(rmsds),
+        }
+        for key in rs[0]:
+            if key in ("id", "sample", rmsd_key):
+                continue
+            try:
+                vals = [float(r[key]) for r in rs]
+            except (TypeError, ValueError):
+                continue
+            entry[f"mean_{key}"] = statistics.fmean(vals)
+            if key == "tm_score":
+                entry["best_tm"] = max(vals)
+        per_complex[cid] = entry
+
+    n = len(per_complex)
+    overall = {"num_complexes": n}
+    if n:
+        keys = set().union(*(set(v) for v in per_complex.values())) - {"n"}
+        for key in sorted(keys):
+            vals = [v[key] for v in per_complex.values() if key in v]
+            overall[f"avg_{key}"] = statistics.fmean(vals)
+        overall["success_rate_2A"] = sum(
+            v["best_rmsd"] < 2.0 for v in per_complex.values()) / n
+        overall["success_rate_5A"] = sum(
+            v["best_rmsd"] < 5.0 for v in per_complex.values()) / n
+    return {"per_complex": per_complex, "overall": overall}
+
+
+def summarize_outputs_csv(path: str) -> dict:
+    """summarize_outputs over a sample.py/inference.py outputs.csv."""
+    import csv
+
+    with open(path, newline="") as f:
+        rows = list(csv.DictReader(f))
+    return summarize_outputs(rows)

@@ -133,6 +133,19 @@ def main():
         w.writerows(rows)
     print(f"wrote {len(rows)} rows to {os.path.join(args.out, 'outputs.csv')}")
 
+    # Paper-table aggregation (the reference does this in its notebooks).
+    import json
+
+    from pepflowww_tpu.metrics import summarize_outputs
+
+    summary = summarize_outputs(rows)
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    ov = summary["overall"]
+    print("summary: " + " ".join(
+        f"{k}={v:.3f}" if isinstance(v, float) else f"{k}={v}"
+        for k, v in sorted(ov.items())))
+
 
 if __name__ == "__main__":
     main()

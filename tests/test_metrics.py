@@ -69,3 +69,31 @@ def test_ramachandran_ss():
     assert ss == ["H", "E", "C"]
     assert ss_recovery(ss, ss) == 1.0
     assert ss_recovery(ss, ["H", "H", "H"]) == 1 / 3
+
+
+def test_summarize_outputs(tmp_path):
+    import csv
+
+    from pepflowww_tpu.metrics import summarize_outputs, summarize_outputs_csv
+
+    rows = []
+    for cid, rmsds, aars in (("a", [1.5, 3.0, 6.0], [0.5, 0.25, 0.25]),
+                             ("b", [7.0, 9.0, 4.9], [0.1, 0.2, 0.3])):
+        for i, (r, aa) in enumerate(zip(rmsds, aars)):
+            rows.append({"id": cid, "sample": i, "ca_rmsd": r + 1.0,
+                         "ca_rmsd_aligned": r, "aar": aa, "tm_score": 0.1 * i})
+    s = summarize_outputs(rows)
+    assert s["per_complex"]["a"]["best_rmsd"] == 1.5
+    assert s["per_complex"]["a"]["median_rmsd"] == 3.0
+    assert abs(s["per_complex"]["a"]["mean_aar"] - 1.0 / 3) < 1e-9
+    assert s["overall"]["num_complexes"] == 2
+    assert s["overall"]["success_rate_2A"] == 0.5   # only 'a' beats 2 A
+    assert s["overall"]["success_rate_5A"] == 1.0
+
+    path = tmp_path / "outputs.csv"
+    with open(path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        w.writeheader()
+        w.writerows(rows)
+    s2 = summarize_outputs_csv(str(path))
+    assert s2["overall"] == s["overall"]
