@@ -83,7 +83,7 @@ def _compiled_flops(fn, *args) -> float | None:
 
 
 def bench_sampling(model, params, pep_len, rec_len, pad_to, batch, reps=3):
-    """(peptides/sec, flops/call or None) at one length bucket."""
+    """peptides/sec at one length bucket."""
     import jax
 
     from pepflowww_tpu import sampling
@@ -99,8 +99,9 @@ def bench_sampling(model, params, pep_len, rec_len, pad_to, batch, reps=3):
         out = fn(params, b, jax.random.PRNGKey(2 + i))
         np.asarray(out["trans"])  # sync: small copy, negligible
     dt = (time.perf_counter() - t0) / reps
-    flops = _compiled_flops(fn, params, b, jax.random.PRNGKey(1))
-    return batch / dt, (flops / dt if flops else None)
+    # (no cost-analysis lowering here: scan bodies are counted once by XLA,
+    # and a second full compile of the 100-step program costs minutes)
+    return batch / dt
 
 
 def bench_training(model, params, reps=10):
@@ -139,9 +140,9 @@ def bench_ours() -> dict:
     key = jax.random.PRNGKey(0)
     params = jax.jit(model.init)({"params": key, "corruption": key}, b0)["params"]
 
-    pps64, _ = bench_sampling(model, params, PEP_LEN, REC_LEN, PAD_TO, BATCH)
-    pps96, _ = bench_sampling(model, params, 16, 80, 96, BATCH, reps=2)
-    pps128, _ = bench_sampling(model, params, 20, 108, 128, BATCH, reps=2)
+    pps64 = bench_sampling(model, params, PEP_LEN, REC_LEN, PAD_TO, BATCH)
+    pps96 = bench_sampling(model, params, 16, 80, 96, BATCH, reps=2)
+    pps128 = bench_sampling(model, params, 20, 108, 128, BATCH, reps=2)
     train_sps, step_ms, train_fps = bench_training(model, params)
 
     peak = PEAK_TFLOPS * 1e12

@@ -118,6 +118,8 @@ class PepDataset:
         if reset and recordstore.exists(cache):
             os.remove(cache)
             os.remove(cache + ".idx")
+            if os.path.exists(cache + ".lens.json"):
+                os.remove(cache + ".lens.json")
         if not recordstore.exists(cache):
             self._preprocess(n_jobs=n_jobs)
 
@@ -173,18 +175,24 @@ class PepDataset:
 
         store = self._connect()
         sidecar = self._cache_path + ".lens.json"
-        if os.path.exists(sidecar):
+        try:
             with open(sidecar) as f:
                 d = json.load(f)
             if set(d.keys()) == set(store.keys):
                 self._lengths = np.array([d[k] for k in store.keys], dtype=np.int64)
                 return self._lengths
+        except (OSError, json.JSONDecodeError):
+            pass  # absent, unreadable, or mid-write by another process
         self._lengths = np.array(
             [len(store.get(k)["aa"]) for k in store.keys], dtype=np.int64
         )
         try:
-            with open(sidecar, "w") as f:
+            # write-to-temp + rename: concurrent readers (multi-host loaders
+            # on a shared filesystem) never observe a partial file
+            tmp = sidecar + f".tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
                 json.dump({k: int(n) for k, n in zip(store.keys, self._lengths)}, f)
+            os.replace(tmp, sidecar)
         except OSError:
             pass
         return self._lengths

@@ -178,6 +178,7 @@ def run_proteinmpnn(
     num_seqs: int = 1,
     design_positions: Optional[Sequence[int]] = None,
     gt_pdb: Optional[str] = None,
+    pep_len: Optional[int] = None,
     sampling_temp: float = 0.1,
     seed: int = 37,
     batch_size: int = 1,
@@ -189,8 +190,9 @@ def run_proteinmpnn(
 
     `design_positions` are the residue numbers that MAY be redesigned (the
     peptide); everything else is fixed. If absent they are read from
-    `gt_pdb`'s design chain (run_mpnn.py:36), or from 1..pep_len when the
-    caller passes neither (run_mpnn.py:85-88 uses the fasta length).
+    `gt_pdb`'s design chain (run_mpnn.py:36) or derived as 1..pep_len
+    (run_mpnn.py:85-88 uses the fasta length); with none of the three, the
+    fixed-positions step is skipped and the whole design chain is redesigned.
     """
     runner = os.environ.get("PROTEINMPNN_PATH")
     if not runner or not os.path.exists(runner):
@@ -207,8 +209,11 @@ def run_proteinmpnn(
     assigned = os.path.join(out_dir, "assigned_pdbs.jsonl")
     fixed = os.path.join(out_dir, "fixed_pdbs.jsonl")
 
-    if design_positions is None and gt_pdb is not None:
-        design_positions = chain_residue_numbers(gt_pdb, chains_to_design)
+    if design_positions is None:
+        if gt_pdb is not None:
+            design_positions = chain_residue_numbers(gt_pdb, chains_to_design)
+        elif pep_len is not None:
+            design_positions = list(range(1, pep_len + 1))
 
     subprocess.run(
         [sys.executable, os.path.join(helpers, "parse_multiple_chains.py"),
@@ -244,6 +249,7 @@ def run_proteinmpnn(
 
 
 _ESMFOLD_MODEL = None
+_ESMFOLD_DEVICE = None
 
 
 def run_esmfold(fasta_path: str, out_dir: str, device: Optional[str] = None) -> list:
@@ -259,13 +265,13 @@ def run_esmfold(fasta_path: str, out_dir: str, device: Optional[str] = None) -> 
         raise ToolUnavailable("fair-esm not installed") from e
     import torch
 
-    global _ESMFOLD_MODEL
+    global _ESMFOLD_MODEL, _ESMFOLD_DEVICE
     if _ESMFOLD_MODEL is None:
-        model = esm.pretrained.esmfold_v1()
-        model = model.eval()
-        if device:
-            model = model.to(device)
-        _ESMFOLD_MODEL = model
+        _ESMFOLD_MODEL = esm.pretrained.esmfold_v1().eval()
+        _ESMFOLD_DEVICE = None
+    if device and device != _ESMFOLD_DEVICE:
+        _ESMFOLD_MODEL = _ESMFOLD_MODEL.to(device)
+        _ESMFOLD_DEVICE = device
 
     os.makedirs(out_dir, exist_ok=True)
     written = []

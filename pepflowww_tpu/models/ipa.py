@@ -226,23 +226,9 @@ class InvariantPointAttention(nn.Module):
         dt = self.dtype
 
         q_flat = Linear(H * C, name="linear_q", dtype=dt)(s)
-        kv = Linear(2 * H * C, name="linear_kv", dtype=dt)(s).reshape(B, L, H, 2 * C)
-        k, v = kv[..., :C], kv[..., C:]
-        q = q_flat.reshape(B, L, H, C)
-
-        # Point q/k/v in the global frame — fp32 geometry. The reference packs
-        # points as [x-block | y-block | z-block] (ipa_pytorch.py:362-366).
-        def to_points(x, P):
-            x = x.astype(jnp.float32).reshape(B, L, 3, H * P)
-            x = jnp.swapaxes(x, -1, -2)  # (B, L, H*P, 3)
-            return frames.local_to_global(R, t, x).reshape(B, L, H, P, 3)
-
-        q_pts = to_points(Linear(H * Pq * 3, name="linear_q_points", dtype=dt)(s), Pq)
+        kv_flat = Linear(2 * H * C, name="linear_kv", dtype=dt)(s)
+        qp_flat = Linear(H * Pq * 3, name="linear_q_points", dtype=dt)(s)
         kv_pts_flat = Linear(H * (Pq + Pv) * 3, name="linear_kv_points", dtype=dt)(s)
-        kv_pts = kv_pts_flat.astype(jnp.float32).reshape(B, L, 3, H * (Pq + Pv))
-        kv_pts = jnp.swapaxes(kv_pts, -1, -2)
-        kv_pts = frames.local_to_global(R, t, kv_pts).reshape(B, L, H, Pq + Pv, 3)
-        k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
 
         # Scalar attention + pair bias (fp32 accumulation).
         b = Linear(H, name="linear_b", dtype=dt)(z)  # (B, L, L, H)
@@ -256,26 +242,46 @@ class InvariantPointAttention(nn.Module):
         pair_z = Linear(self.c_z // 4, name="down_z", dtype=dt)(z)
 
         if self.use_pallas and not self.is_initializing():
-            from pepflowww_tpu.models.pallas_ipa import fused_ipa_attention_vjp
+            # Fully fused interior (pallas_ipa2.py): frame transforms, logits,
+            # point term, softmax and all three aggregations in one kernel
+            # with a hand-written backward. Measured SLOWER than the XLA path
+            # at the benchmark dims (PERF.md "The IPA kernel battle") — this
+            # branch is the opt-in kernel, not the default.
+            from pepflowww_tpu.models.pallas_ipa2 import fused_ipa2_vjp
 
-            # Fold the per-head softplus weight into the q/k points: scaling
-            # both by sqrt(w_h) makes the squared-distance expansion carry
-            # w_h * ||q - k||² implicitly. All per-head tensors go head-major.
-            sw = jnp.sqrt(head_weights)[None, None, :, None, None]
-            hm = lambda x: jnp.transpose(x, (0, 2, 1, 3))  # (B,L,H,*)->(B,H,L,*)
-            o_h, o_pt_h, o_pair_h = fused_ipa_attention_vjp(
-                hm(q), hm(k), hm(v),
-                hm((q_pts * sw).reshape(B, L, H, Pq * 3)),
-                hm((k_pts * sw).reshape(B, L, H, Pq * 3)),
-                hm(v_pts.reshape(B, L, H, Pv * 3)),
-                jnp.transpose(b, (0, 3, 1, 2)),
-                pair_z, mask, self.inf,
+            # The reference packs points as [x | y | z] blocks of H*P lanes
+            # (ipa_pytorch.py:362-366) -> (B, H, 3, L, P) head-major planes.
+            qp5 = jnp.transpose(
+                qp_flat.reshape(B, L, 3, H, Pq), (0, 3, 2, 1, 4))
+            kvp5 = jnp.transpose(
+                kv_pts_flat.reshape(B, L, 3, H, Pq + Pv), (0, 3, 2, 1, 4))
+            maskb = (self.inf * (mask.astype(jnp.float32) - 1.0))[:, None, :]
+            sw = jnp.sqrt(head_weights).reshape(1, H)
+            o, o_pt_xyz, o_pt_norm, o_pair = fused_ipa2_vjp(
+                q_flat, kv_flat, qp5, kvp5,
+                R.astype(jnp.float32).reshape(B, L, 9), t.astype(jnp.float32),
+                jnp.transpose(b, (0, 3, 1, 2)), pair_z, maskb, sw,
             )
-            o = hm(o_h).reshape(B, L, H * C)
-            o_pt = frames.global_to_local(R, t, hm(o_pt_h).reshape(B, L, H * Pv, 3))
-            o_pt_norm = jnp.sqrt(jnp.sum(jnp.square(o_pt), axis=-1) + self.eps)
-            o_pair = hm(o_pair_h).reshape(B, L, -1)
+            o_feats = jnp.concatenate([o, o_pt_xyz, o_pt_norm, o_pair], axis=-1)
+            return Linear(self.c_s, init="final", name="linear_out", dtype=dt)(o_feats)
         else:
+            kv = kv_flat.reshape(B, L, H, 2 * C)
+            k, v = kv[..., :C], kv[..., C:]
+            q = q_flat.reshape(B, L, H, C)
+
+            # Point q/k/v in the global frame — fp32 geometry. The reference
+            # packs points as [x | y | z] blocks (ipa_pytorch.py:362-366).
+            def to_points(x, P):
+                x = x.astype(jnp.float32).reshape(B, L, 3, H * P)
+                x = jnp.swapaxes(x, -1, -2)  # (B, L, H*P, 3)
+                return frames.local_to_global(R, t, x).reshape(B, L, H, P, 3)
+
+            q_pts = to_points(qp_flat, Pq)
+            kv_pts = kv_pts_flat.astype(jnp.float32).reshape(B, L, 3, H * (Pq + Pv))
+            kv_pts = jnp.swapaxes(kv_pts, -1, -2)
+            kv_pts = frames.local_to_global(R, t, kv_pts).reshape(B, L, H, Pq + Pv, 3)
+            k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
+
             a = jnp.einsum("bihc,bjhc->bhij", q, k,
                            preferred_element_type=jnp.float32) * math.sqrt(1.0 / (3 * C))
             a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2)).astype(jnp.float32)

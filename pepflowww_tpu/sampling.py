@@ -210,20 +210,47 @@ def make_sampler(model: FlowModel, num_steps: int = 100, sample_bb: bool = True,
     @functools.partial(jax.jit, donate_argnums=())
     def fn(params, batch, key):
         B = batch["aa"].shape[0]
-        if microbatch is None or B <= microbatch or B % microbatch != 0:
+        if microbatch is None or B <= microbatch:
             return sample_chunk(params, batch, key)
-        k = B // microbatch
+        k, rem = divmod(B, microbatch)
+        main = B - rem
+        keys = jax.random.split(key, k + 1)
         chunked = {
-            name: v.reshape((k, microbatch) + v.shape[1:])
+            name: v[:main].reshape((k, microbatch) + v.shape[1:])
             for name, v in batch.items()
         }
-        keys = jax.random.split(key, k)
         out = jax.lax.map(
-            lambda args: sample_chunk(params, args[0], args[1]), (chunked, keys)
+            lambda args: sample_chunk(params, args[0], args[1]),
+            (chunked, keys[:k]),
         )
-        return jax.tree.map(
-            lambda v: v.reshape((B,) + v.shape[2:]), out
+        # Trajectory leaves stack time OUTSIDE the mapped batch axis —
+        # (k, steps, mb, ...) vs (k, mb, ...) for final-state leaves — so
+        # un-chunk the "traj" subtree by key, not by shape sniffing.
+        traj = out.pop("traj", None)
+        out = jax.tree.map(lambda v: v.reshape((main,) + v.shape[2:]), out)
+        if traj is not None:
+            out["traj"] = jax.tree.map(
+                lambda v: jnp.moveaxis(v, 0, 1).reshape(
+                    (v.shape[1], main) + v.shape[3:]),
+                traj,
+            )
+        if rem == 0:
+            return out
+        # ragged tail runs as its own (smaller) chunk and concatenates back
+        tail = sample_chunk(
+            params, {name: v[main:] for name, v in batch.items()}, keys[k]
         )
+        tail_traj = tail.pop("traj", None)
+        out_no_traj = {name: v for name, v in out.items() if name != "traj"}
+        joined = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=0), out_no_traj, tail
+        )
+        if traj is not None:
+            joined["traj"] = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=1),
+                out["traj"], tail_traj,
+            )
+        return joined
 
     return fn
 

@@ -124,6 +124,14 @@ def test_run_proteinmpnn_fixed_positions_pipeline(tmp_path, monkeypatch):
     assert run_args[run_args.index("--fixed_positions_jsonl") + 1].endswith(
         "fixed_pdbs.jsonl")
 
+    # pep_len fallback (run_mpnn.py:85-88): positions 1..pep_len
+    log.unlink()
+    E.run_proteinmpnn(str(tmp_path / "pdbs"), str(out), chains_to_design="A",
+                      pep_len=6)
+    calls2 = {c[0]: c[1:] for c in _read_log(log)}
+    fx = calls2["make_fixed_positions_dict.py"]
+    assert fx[fx.index("--position_list") + 1] == "1 2 3 4 5 6"
+
 
 def test_run_esmif_argument_surface(tmp_path, monkeypatch):
     runner = tmp_path / "sample_sequences.py"

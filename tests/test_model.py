@@ -224,3 +224,25 @@ def test_sampler_microbatching(setup):
     fn_plain = sampling.make_sampler(model, num_steps=2, microbatch=None)
     out_plain = fn_plain(params, big, jax.random.PRNGKey(0))
     assert out_plain["trans"].shape == (B, L, 3)
+
+    # non-multiple batch: ragged tail chunk concatenates back (B=8, mb=3)
+    fn_rag = sampling.make_sampler(model, num_steps=2, microbatch=3)
+    out_rag = fn_rag(params, big, jax.random.PRNGKey(1))
+    assert out_rag["trans"].shape == (B, L, 3)
+    assert np.isfinite(np.asarray(out_rag["trans"])).all()
+
+    # return_traj: time stacks outside the mapped batch axis and must be
+    # un-chunked by key (num_steps == microbatch is the adversarial case)
+    fn_traj = sampling.make_sampler(model, num_steps=4, microbatch=4,
+                                    return_traj=True)
+    out_traj = fn_traj(params, big, jax.random.PRNGKey(2))
+    assert out_traj["trans"].shape == (B, L, 3)
+    # traj stacks the scan steps (num_steps - 1 Euler updates; the final t=1
+    # prediction is the top-level output), time axis OUTSIDE batch
+    assert out_traj["traj"]["trans"].shape == (3, B, L, 3)
+    assert np.isfinite(np.asarray(out_traj["traj"]["trans"])).all()
+    # context rows are identical across chunks at every step
+    gen0 = np.asarray(big["generate_mask"][0]).astype(bool)
+    tr = np.asarray(out_traj["traj"]["trans"])
+    np.testing.assert_allclose(tr[:, 0][:, ~gen0], tr[:, 4][:, ~gen0],
+                               atol=1e-5)
