@@ -56,9 +56,12 @@ def preprocess_structure(task: dict, exclude: Sequence[str] = ()) -> Optional[di
         if pep is None:
             raise ValueError("empty peptide")
         ca_mask = pep["mask_heavyatom"][:, C.BBHeavyAtom.CA]
-        center = pep["pos_heavyatom"][ca_mask, C.BBHeavyAtom.CA].sum(axis=0) / (
-            ca_mask.sum() + 1e-8
-        )
+        # keep float32: the python-scalar epsilon would promote the division
+        # (and then every downstream position array) to float64
+        center = (
+            pep["pos_heavyatom"][ca_mask, C.BBHeavyAtom.CA].sum(axis=0)
+            / np.float32(ca_mask.sum() + 1e-8)
+        ).astype(np.float32)
         pep["pos_heavyatom"] = pep["pos_heavyatom"] - center[None, None, :]
         pep["torsion_angle"], pep["torsion_angle_mask"] = _torsions(
             pep["pos_heavyatom"], pep["aa"]

@@ -38,7 +38,15 @@ def main():
 
     from pepflowww_tpu.convert import export_state_dict
 
-    restored = ocp.StandardCheckpointer().restore(os.path.abspath(args.ckpt))
+    # Restore to plain numpy regardless of the shardings the checkpoint was
+    # saved with (a TPU-trained checkpoint restores fine on a CPU-only host).
+    ckptr = ocp.PyTreeCheckpointer()
+    path = os.path.abspath(args.ckpt)
+    meta = ckptr.metadata(path)
+    tree = meta.item_metadata if hasattr(meta, "item_metadata") else meta
+    restore_args = jax.tree.map(
+        lambda _m: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+    restored = ckptr.restore(path, restore_args=restore_args)
     params = restored["params"]
     sd = export_state_dict(params, num_blocks=args.num_blocks,
                            seq_tfmr_num_layers=args.seq_tfmr_num_layers)
