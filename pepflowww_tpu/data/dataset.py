@@ -181,7 +181,7 @@ class PepDataset:
         try:
             with open(sidecar) as f:
                 d = json.load(f)
-            if set(d.keys()) == set(store.keys):
+            if isinstance(d, dict) and set(d.keys()) == set(store.keys):
                 self._lengths = np.array([d[k] for k in store.keys], dtype=np.int64)
                 return self._lengths
         except (OSError, json.JSONDecodeError):
@@ -189,15 +189,18 @@ class PepDataset:
         self._lengths = np.array(
             [len(store.get(k)["aa"]) for k in store.keys], dtype=np.int64
         )
+        tmp = sidecar + f".tmp.{os.getpid()}"
         try:
             # write-to-temp + rename: concurrent readers (multi-host loaders
             # on a shared filesystem) never observe a partial file
-            tmp = sidecar + f".tmp.{os.getpid()}"
             with open(tmp, "w") as f:
                 json.dump({k: int(n) for k, n in zip(store.keys, self._lengths)}, f)
             os.replace(tmp, sidecar)
         except OSError:
-            pass
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
         return self._lengths
 
 

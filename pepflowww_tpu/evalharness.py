@@ -257,7 +257,8 @@ def run_esmfold(fasta_path: str, out_dir: str, device: Optional[str] = None) -> 
     ESMFold v1 `infer_pdb` per fasta record -> `<out_dir>/<name>.pdb`.
 
     The model loads once per process (the reference loads at module import,
-    run_esmfold.py:23-24). Returns the list of written PDB paths.
+    run_esmfold.py:23-24); `device=None` means "leave the cached model where
+    it is" (CPU on first load). Returns the list of written PDB paths.
     """
     try:
         import esm  # type: ignore

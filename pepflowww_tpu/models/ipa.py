@@ -260,7 +260,7 @@ class InvariantPointAttention(nn.Module):
             o, o_pt_xyz, o_pt_norm, o_pair = fused_ipa2_vjp(
                 q_flat, kv_flat, qp5, kvp5,
                 R.astype(jnp.float32).reshape(B, L, 9), t.astype(jnp.float32),
-                jnp.transpose(b, (0, 3, 1, 2)), pair_z, maskb, sw,
+                jnp.transpose(b, (0, 3, 1, 2)), pair_z, maskb, sw, self.eps,
             )
             o_feats = jnp.concatenate([o, o_pt_xyz, o_pt_norm, o_pair], axis=-1)
             return Linear(self.c_s, init="final", name="linear_out", dtype=dt)(o_feats)

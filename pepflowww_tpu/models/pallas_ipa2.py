@@ -124,7 +124,7 @@ def _fwd_kernel(q_ref, kv_ref, qp_ref, kvp_ref, r_ref, t_ref, bias_ref,
 
 
 def fused_ipa2(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw,
-               interpret: bool | None = None):
+               eps: float = 1e-8, interpret: bool | None = None):
     """Fused IPA interior.
 
     Args (B = batch, L = padded length, natural GEMM-output layouts):
@@ -155,7 +155,7 @@ def fused_ipa2(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw,
     s2 = float(1.0 / 3.0 ** 0.5)
 
     kernel = functools.partial(
-        _fwd_kernel, H=H, C=C, Pq=Pq, Pv=Pv, CZ4=CZ4, s1=s1, s2=s2, eps=1e-8
+        _fwd_kernel, H=H, C=C, Pq=Pq, Pv=Pv, CZ4=CZ4, s1=s1, s2=s2, eps=eps
     )
 
     def row(shape):
@@ -342,7 +342,8 @@ def _bwd_kernel(q_ref, kv_ref, qp_ref, kvp_ref, r_ref, t_ref, bias_ref,
 
 
 def fused_ipa2_bwd(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw,
-                   go, goptl, gnorm, gopair, interpret: bool | None = None):
+                   go, goptl, gnorm, gopair, eps: float = 1e-8,
+                   interpret: bool | None = None):
     interpret = resolve_interpret(interpret)
     H, C, Pq, Pv, L = _dims(q, qp, kvp)
     B = q.shape[0]
@@ -351,7 +352,7 @@ def fused_ipa2_bwd(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw,
     s2 = float(1.0 / 3.0 ** 0.5)
 
     kernel = functools.partial(
-        _bwd_kernel, H=H, C=C, Pq=Pq, Pv=Pv, CZ4=CZ4, s1=s1, s2=s2, eps=1e-8
+        _bwd_kernel, H=H, C=C, Pq=Pq, Pv=Pv, CZ4=CZ4, s1=s1, s2=s2, eps=eps
     )
 
     def row(shape):
@@ -394,24 +395,25 @@ def fused_ipa2_bwd(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw,
 
 
 # ---------------------------------------------------------------- custom vjp
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
-def fused_ipa2_vjp(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw, interpret=None):
-    return fused_ipa2(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+def fused_ipa2_vjp(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw, eps=1e-8,
+                   interpret=None):
+    return fused_ipa2(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw, eps=eps,
                       interpret=interpret)
 
 
-def _vjp_fwd(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw, interpret):
-    out = fused_ipa2(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw,
+def _vjp_fwd(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw, eps, interpret):
+    out = fused_ipa2(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw, eps=eps,
                      interpret=interpret)
     return out, (q, kv, qp, kvp, r9, t, bias, pz, maskb, sw)
 
 
-def _vjp_bwd(interpret, res, g):
+def _vjp_bwd(eps, interpret, res, g):
     q, kv, qp, kvp, r9, t, bias, pz, maskb, sw = res
     go, goptl, gnorm, gopair = g
     gq, gkv, gqp, gkvp, gr9, gt, gbias, gpz, gsw = fused_ipa2_bwd(
         q, kv, qp, kvp, r9, t, bias, pz, maskb, sw,
-        go, goptl, gnorm, gopair, interpret=interpret,
+        go, goptl, gnorm, gopair, eps=eps, interpret=interpret,
     )
     gq = gq.astype(q.dtype)
     gkv = gkv.astype(kv.dtype)
@@ -428,7 +430,7 @@ fused_ipa2_vjp.defvjp(_vjp_fwd, _vjp_bwd)
 
 
 # ---------------------------------------------------------------- jnp twin
-def ipa2_reference(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw):
+def ipa2_reference(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw, eps=1e-8):
     """jnp twin (numerics oracle for tests; differentiable)."""
     H, C, Pq, Pv, L = _dims(q, qp, kvp)
     B = q.shape[0]
@@ -465,7 +467,7 @@ def ipa2_reference(q, kv, qp, kvp, r9, t, bias, pz, maskb, sw):
     optg = jnp.einsum("bhlm,bhcmp->bhclp", a, vg)
     dif = optg - t.astype(F32).transpose(0, 2, 1)[:, None, :, :, None]
     optl = jnp.einsum("bldc,bhdlp->bhclp", R, dif)  # R^T (g - t)
-    norm = jnp.sqrt(jnp.sum(jnp.square(optl), axis=2) + 1e-8)  # (B, H, L, Pv)
+    norm = jnp.sqrt(jnp.sum(jnp.square(optl), axis=2) + eps)  # (B, H, L, Pv)
     opair = jnp.einsum("bhlm,blmd->blhd", a, pz.astype(F32)).reshape(
         B, L, H * CZ4
     )

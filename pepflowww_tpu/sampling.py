@@ -226,31 +226,31 @@ def make_sampler(model: FlowModel, num_steps: int = 100, sample_bb: bool = True,
         # Trajectory leaves stack time OUTSIDE the mapped batch axis —
         # (k, steps, mb, ...) vs (k, mb, ...) for final-state leaves — so
         # un-chunk the "traj" subtree by key, not by shape sniffing.
-        traj = out.pop("traj", None)
+        main_traj = out.pop("traj", None)
         out = jax.tree.map(lambda v: v.reshape((main,) + v.shape[2:]), out)
-        if traj is not None:
-            out["traj"] = jax.tree.map(
+        if main_traj is not None:
+            main_traj = jax.tree.map(
                 lambda v: jnp.moveaxis(v, 0, 1).reshape(
                     (v.shape[1], main) + v.shape[3:]),
-                traj,
+                main_traj,
             )
-        if rem == 0:
-            return out
-        # ragged tail runs as its own (smaller) chunk and concatenates back
-        tail = sample_chunk(
-            params, {name: v[main:] for name, v in batch.items()}, keys[k]
-        )
-        tail_traj = tail.pop("traj", None)
-        out_no_traj = {name: v for name, v in out.items() if name != "traj"}
-        joined = jax.tree.map(
-            lambda a, b: jnp.concatenate([a, b], axis=0), out_no_traj, tail
-        )
-        if traj is not None:
-            joined["traj"] = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b], axis=1),
-                out["traj"], tail_traj,
+        if rem:
+            # ragged tail runs as its own (smaller) chunk; concat batch axes
+            tail = sample_chunk(
+                params, {name: v[main:] for name, v in batch.items()}, keys[k]
             )
-        return joined
+            tail_traj = tail.pop("traj", None)
+            out = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), out, tail
+            )
+            if main_traj is not None:
+                main_traj = jax.tree.map(
+                    lambda a, b: jnp.concatenate([a, b], axis=1),
+                    main_traj, tail_traj,
+                )
+        if main_traj is not None:
+            out["traj"] = main_traj
+        return out
 
     return fn
 

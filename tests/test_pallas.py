@@ -378,7 +378,7 @@ def test_fused_ipa2_backward_parity():
             return sum(jnp.sum(x * (i + 1)) for i, x in enumerate(out))
         return inner
 
-    g_fused = jax.grad(loss(lambda *a: P.fused_ipa2_vjp(*a, True)))(args)
+    g_fused = jax.grad(loss(lambda *a: P.fused_ipa2_vjp(*a, 1e-8, True)))(args)
     g_ref = jax.grad(loss(P.ipa2_reference))(args)
     names = ("q", "kv", "qp", "kvp", "r9", "t", "bias", "pz", "maskb", "sw")
     for n, a, b in zip(names, g_fused, g_ref):
