@@ -191,3 +191,58 @@ def test_train_cli_synthetic_val(tmp_path):
     assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
     log = out.stdout + out.stderr
     assert "val it 3" in log and "val it 6" in log, log[-2000:]
+
+
+def test_train_cli_sigterm_checkpoints(tmp_path):
+    """SIGTERM (TPU preemption) triggers a final checkpoint and clean exit."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    import yaml
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "configs/learn_angle.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["model"]["encoder"]["ipa"].update(
+        c_s=32, c_z=16, c_hidden=32, no_heads=2, no_qk_points=2,
+        no_v_points=3, seq_tfmr_num_layers=1, num_blocks=2)
+    cfg["model"]["encoder"]["node_embed_size"] = 32
+    cfg["model"]["encoder"]["edge_embed_size"] = 16
+    cfg["train"]["val_freq"] = 100000  # never checkpoints on schedule
+    path = tmp_path / "tiny.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    logdir = tmp_path / "logs"
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import sys, runpy; "
+        f"sys.argv=['train.py','--config',{str(path)!r},'--synthetic',"
+        f"'--max_iters','100000','--log_freq','5','--batch_size','2',"
+        f"'--logdir',{str(logdir)!r}]; "
+        "runpy.run_path('train.py', run_name='__main__')"
+    )
+    proc = subprocess.Popen([sys.executable, "-c", code], cwd=root,
+                            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                            text=True)
+    # wait for the loop to actually run a few iterations
+    deadline = _time.time() + 600
+    started = False
+    while _time.time() < deadline:
+        runs = list(logdir.glob("*")) if logdir.exists() else []
+        if runs and (runs[0] / "log.txt").exists():
+            if "it 5 " in (runs[0] / "log.txt").read_text():
+                started = True
+                break
+        _time.sleep(2)
+    assert started, "training never reached iteration 5"
+    proc.send_signal(signal.SIGTERM)
+    out, _ = proc.communicate(timeout=300)
+    assert proc.returncode == 0, out[-2000:]
+    assert "preemption checkpoint" in out or "preemption checkpoint" in (
+        runs[0] / "log.txt").read_text()
+    ckpts = list((runs[0] / "checkpoints").glob("*"))
+    assert ckpts, "no checkpoint written on SIGTERM"

@@ -201,6 +201,20 @@ def main():
         return summary["loss"]
 
     # ---------------- loop ----------------
+    # Preemption safety (beyond the reference, which only tears down the DDP
+    # process group on KeyboardInterrupt, train_ddp.py:214-216): SIGTERM —
+    # what TPU preemption/maintenance delivers — requests a final checkpoint
+    # at the next loop boundary and a clean exit.
+    import signal
+
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+        logger.info("signal %d received; checkpointing and exiting", signum)
+
+    signal.signal(signal.SIGTERM, _request_stop)
+
     batch = first_batch
     t0 = time.time()
     seen = 0
@@ -243,9 +257,13 @@ def main():
                 set_learning_rate(opt_state, new_lr)
                 logger.info("lr -> %.3g", new_lr)
 
-        if (not args.debug) and it % int(train_cfg["val_freq"]) == 0 and jax.process_index() == 0:
+        checkpoint_now = it % int(train_cfg["val_freq"]) == 0 or stop_requested["flag"]
+        if (not args.debug) and checkpoint_now and jax.process_index() == 0:
             path = ckpt_lib.save_checkpoint(ckpt_dir, it, params, opt_state, sched.state_dict())
             logger.info("checkpoint -> %s", path)
+        if stop_requested["flag"]:
+            logger.info("exiting at iteration %d after preemption checkpoint", it)
+            break
 
         batch = next(train_iter)
         batch = {k: v for k, v in batch.items() if not isinstance(v, list)}
