@@ -293,6 +293,10 @@ def main():
     ap.add_argument("--synthetic_weights", action="store_true")
     ap.add_argument("--port", type=int, default=8300)
     ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--warmup", default=None,
+                    help="comma-separated length buckets to precompile at "
+                         "startup (e.g. '64,96'); first requests then skip "
+                         "the ~60 s compile")
     args = ap.parse_args()
     S.args = args
 
@@ -327,6 +331,21 @@ def main():
         S.params = restored["params"]
     elif not args.synthetic_weights:
         print("[serve] WARNING: no checkpoint given; serving random weights")
+
+    if args.warmup:
+        from pepflowww_tpu import sampling
+        from pepflowww_tpu.data.collate import pad_and_collate, replicate_item
+        from pepflowww_tpu.data.synthetic import make_complex
+
+        for bucket in (int(b) for b in args.warmup.split(",")):
+            item = make_complex(rng, pep_len=8, rec_len=max(bucket - 24, 8))
+            wb = device_batch(pad_and_collate(replicate_item(item, 8),
+                                              pad_to=bucket))
+            wb = {kk: jnp.asarray(v) for kk, v in wb.items()}
+            fn = sampling.make_sampler(S.model, num_steps=100)
+            np.asarray(fn(S.params, wb, jax.random.PRNGKey(0))["trans"])
+            S.samplers[(bucket, 8, 100)] = fn
+            print(f"[serve] warmed bucket {bucket} (100 steps, 8 samples)")
 
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     print(f"[serve] listening on http://{args.host}:{args.port}")
