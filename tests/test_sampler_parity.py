@@ -123,3 +123,45 @@ def test_trained_sampler_statistics_match_reference(golden):
     check("rot_dev", rot_dev, g["rot_dev"])
     check("aar", aar, g["aar"])
     check("trans_norm", trans_norm, g["trans_norm"])
+
+
+def test_trained_sampler_bf16_pallas_profile(golden):
+    """The PRODUCTION profile (bf16 + fused Pallas kernels, learn_angle_tpu)
+    must also land inside the trained reference's 2-sigma envelope — ties the
+    TPU serving path, not just the fp32 graph, to the trained oracle."""
+    g = golden("sampler_stats_trained")
+    nb = int(g["num_blocks"])
+    steps = int(g["num_steps"])
+    n = int(g["num_samples"])
+
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_state_dict(sd, num_blocks=nb, seq_tfmr_num_layers=2)
+    model = FlowModel(FlowModelConfig(
+        ipa=IPAConfig(num_blocks=nb, dtype="bfloat16", use_pallas=True)))
+    batch = {k[6:]: jnp.asarray(g[k]) for k in g.files if k.startswith("batch_")}
+
+    # Pool over seeds: bf16 rounding shifts whole runs (replicas of one
+    # complex are correlated), so a single 24-replica run's mean wanders
+    # ~±0.06 in AAR — pooling 3 runs stabilizes it the same way the fixture
+    # pools the reference's runs.
+    gen = np.asarray(batch["generate_mask"]).astype(bool)
+    fn = sampling.make_sampler(model, num_steps=steps)
+    aar_runs, tn_runs = [], []
+    for seed in (17, 18, 19):
+        out = fn(params, batch, jax.random.PRNGKey(seed))
+        trans = np.asarray(out["trans"])
+        seqs, seqs_1 = np.asarray(out["seqs"]), np.asarray(out["seqs_1"])
+        aar_runs.append(((seqs == seqs_1) * gen).sum(-1) / gen.sum(-1))
+        tn_runs.append(np.sqrt((np.square(trans).sum(-1) * gen).sum(-1) / gen.sum(-1)))
+    aar = np.concatenate(aar_runs)
+    trans_norm = np.concatenate(tn_runs)
+
+    for name, ours in (("aar", aar), ("trans_norm", trans_norm)):
+        ref = g[name]
+        sem = np.sqrt(np.var(ref) / n + np.var(ours) / len(ours))
+        # extra floor: bf16 rounding walks a slightly different trajectory
+        tol = 2.0 * float(sem) + max(0.15 * float(np.std(ref)), 1e-2)
+        diff = abs(float(np.mean(ours)) - float(np.mean(ref)))
+        assert diff <= tol, (
+            f"bf16 profile {name}: ours {np.mean(ours):.4f} vs trained ref "
+            f"{np.mean(ref):.4f} (tol {tol:.4f})")
