@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--val_dataset_name", type=str, default=None,
                     help="validate every val_freq iters and drive the plateau "
                          "scheduler on validation loss (train.py:160-186)")
+    ap.add_argument("--val_structure_dir", type=str, default=None,
+                    help="structure dir for the val split (defaults to "
+                         "--structure_dir; use with a held-out complex set)")
     ap.add_argument("--exclude_names", type=str, default=None)
     ap.add_argument("--max_iters", type=int, default=None)
     ap.add_argument("--val_freq", type=int, default=None)
@@ -123,7 +126,8 @@ def main():
         train_iter = loader.prefetch()
         if args.val_dataset_name:
             val_dataset = PepDataset(
-                structure_dir=args.structure_dir, dataset_dir=args.dataset_dir,
+                structure_dir=args.val_structure_dir or args.structure_dir,
+                dataset_dir=args.dataset_dir,
                 name=args.val_dataset_name,
             )
             val_loader = DataLoader(val_dataset, batch_size=batch_size,
