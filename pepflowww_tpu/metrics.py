@@ -97,21 +97,35 @@ def binding_site_ratio(
 
 
 def evaluate_sample(sample_out: dict, batch: dict) -> dict:
-    """Online metrics for one sampler output (cf. inference.py:77-83)."""
+    """Online metrics for one sampler output (cf. inference.py:77-83).
+
+    Pinned to the host CPU backend: the Kabsch alignment inside
+    ca_rmsd_aligned/tm_score dispatches eager jnp ops, and eager dispatch
+    over this image's remote-TPU tunnel costs seconds PER OP (profiled: the
+    un-pinned version spent minutes per complex in metrics alone).
+    """
+    import jax
+
     gen = np.asarray(batch["generate_mask"])
     trans = np.asarray(sample_out["trans"])
     trans_1 = np.asarray(sample_out["trans_1"])
-    return {
-        "ca_rmsd": ca_rmsd(trans, trans_1, gen),
-        "ca_rmsd_aligned": ca_rmsd_aligned(trans, trans_1, gen),
-        "rot_frobenius": rotation_frobenius(
-            np.asarray(sample_out["rotmats"]), np.asarray(sample_out["rotmats_1"]), gen
-        ),
-        "aar": amino_acid_recovery(
-            np.asarray(sample_out["seqs"]), np.asarray(sample_out["seqs_1"]), gen
-        ),
-        "tm_score": tm_score(trans, trans_1, gen),
-    }
+    try:
+        cpu = jax.local_devices(backend="cpu")[0]
+    except RuntimeError:
+        jax.devices()
+        cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        return {
+            "ca_rmsd": ca_rmsd(trans, trans_1, gen),
+            "ca_rmsd_aligned": ca_rmsd_aligned(trans, trans_1, gen),
+            "rot_frobenius": rotation_frobenius(
+                np.asarray(sample_out["rotmats"]), np.asarray(sample_out["rotmats_1"]), gen
+            ),
+            "aar": amino_acid_recovery(
+                np.asarray(sample_out["seqs"]), np.asarray(sample_out["seqs_1"]), gen
+            ),
+            "tm_score": tm_score(trans, trans_1, gen),
+        }
 
 
 # ------------------------------------------------------------- aggregation
