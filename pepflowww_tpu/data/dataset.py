@@ -178,11 +178,23 @@ class PepDataset:
 
         store = self._connect()
         sidecar = self._cache_path + ".lens.json"
+        # Stamp the store file's identity into the sidecar: a cache rebuilt
+        # with the same ids but different contents (e.g. changed
+        # preprocessing without --reset) must invalidate the cached lengths,
+        # not just a changed key set (ADVICE r2).
+        st = os.stat(self._cache_path)
+        stamp = [int(st.st_size), int(st.st_mtime_ns)]
         try:
             with open(sidecar) as f:
                 d = json.load(f)
-            if isinstance(d, dict) and set(d.keys()) == set(store.keys):
-                self._lengths = np.array([d[k] for k in store.keys], dtype=np.int64)
+            if (
+                isinstance(d, dict)
+                and d.get("__store__") == stamp
+                and set(d.get("lens", {}).keys()) == set(store.keys)
+            ):
+                self._lengths = np.array(
+                    [d["lens"][k] for k in store.keys], dtype=np.int64
+                )
                 return self._lengths
         except (OSError, json.JSONDecodeError):
             pass  # absent, unreadable, or mid-write by another process
@@ -194,7 +206,11 @@ class PepDataset:
             # write-to-temp + rename: concurrent readers (multi-host loaders
             # on a shared filesystem) never observe a partial file
             with open(tmp, "w") as f:
-                json.dump({k: int(n) for k, n in zip(store.keys, self._lengths)}, f)
+                json.dump(
+                    {"__store__": stamp,
+                     "lens": {k: int(n) for k, n in zip(store.keys, self._lengths)}},
+                    f,
+                )
             os.replace(tmp, sidecar)
         except OSError:
             try:
@@ -294,7 +310,15 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[dict]:
         for pad_to, idxs in self._batch_plan():
-            mine = idxs[self.shard_index :: self.num_shards]
+            # CONTIGUOUS block per shard (not strided): under multi-host SPMD
+            # the global batch is assembled from process-local rows with
+            # P("data") row-block ownership (mesh.shard_batch), so shard i
+            # holding rows [i*bs, (i+1)*bs) makes the global row order equal
+            # to the single-process plan order — loss trajectories match a
+            # single-process run with the same global batch exactly
+            # (tests/test_multihost.py pins this).
+            lo = self.shard_index * self.batch_size
+            mine = idxs[lo : lo + self.batch_size]
             if len(mine) == 0:
                 continue
             items = [self.dataset[int(j)] for j in mine]

@@ -149,21 +149,31 @@ def summarize_outputs(rows: "list[dict]") -> dict:
     for r in rows:
         by_id[r["id"]].append(r)
 
-    rmsd_key = "ca_rmsd_aligned" if rows and "ca_rmsd_aligned" in rows[0] else "ca_rmsd"
+    # Row schemas may be heterogeneous (e.g. a tm_score column present only
+    # where TMalign succeeded): aggregate each column over the rows that have
+    # it instead of indexing rows[0]'s schema into every row (ADVICE r2).
+    rmsd_key = "ca_rmsd_aligned" if any("ca_rmsd_aligned" in r for r in rows) else "ca_rmsd"
     per_complex = {}
     for cid, rs in by_id.items():
-        rmsds = [float(r[rmsd_key]) for r in rs]
-        entry = {
-            "n": len(rs),
-            "best_rmsd": min(rmsds),
-            "median_rmsd": statistics.median(rmsds),
-        }
-        for key in rs[0]:
+        rmsds = [float(r[rmsd_key]) for r in rs if r.get(rmsd_key) is not None]
+        entry = {"n": len(rs)}
+        if rmsds:
+            entry["best_rmsd"] = min(rmsds)
+            entry["median_rmsd"] = statistics.median(rmsds)
+        all_keys = set().union(*(set(r) for r in rs))
+        for key in sorted(all_keys):
             if key in ("id", "sample", rmsd_key):
                 continue
-            try:
-                vals = [float(r[key]) for r in rs]
-            except (TypeError, ValueError):
+            vals = []
+            for r in rs:
+                try:
+                    v = r.get(key)
+                    if v is not None:
+                        vals.append(float(v))
+                except (TypeError, ValueError):
+                    vals = []
+                    break
+            if not vals:
                 continue
             entry[f"mean_{key}"] = statistics.fmean(vals)
             if key == "tm_score":
@@ -178,9 +188,9 @@ def summarize_outputs(rows: "list[dict]") -> dict:
             vals = [v[key] for v in per_complex.values() if key in v]
             overall[f"avg_{key}"] = statistics.fmean(vals)
         overall["success_rate_2A"] = sum(
-            v["best_rmsd"] < 2.0 for v in per_complex.values()) / n
+            v.get("best_rmsd", float("inf")) < 2.0 for v in per_complex.values()) / n
         overall["success_rate_5A"] = sum(
-            v["best_rmsd"] < 5.0 for v in per_complex.values()) / n
+            v.get("best_rmsd", float("inf")) < 5.0 for v in per_complex.values()) / n
     return {"per_complex": per_complex, "overall": overall}
 
 

@@ -255,6 +255,11 @@ class InvariantPointAttention(nn.Module):
                 qp_flat.reshape(B, L, 3, H, Pq), (0, 3, 2, 1, 4))
             kvp5 = jnp.transpose(
                 kv_pts_flat.reshape(B, L, 3, H, Pq + Pv), (0, 3, 2, 1, 4))
+            # Key-column mask only (the XLA branch masks the full mask_i *
+            # mask_j outer product): outputs on PADDED QUERY ROWS diverge
+            # between the two paths. Harmless — padded rows are masked
+            # downstream and tests compare valid rows only — but know it
+            # when diffing the branches row-by-row (ADVICE r2).
             maskb = (self.inf * (mask.astype(jnp.float32) - 1.0))[:, None, :]
             sw = jnp.sqrt(head_weights).reshape(1, H)
             o, o_pt_xyz, o_pt_norm, o_pair = fused_ipa2_vjp(

@@ -67,6 +67,12 @@ def model_config_from_dict(m: dict) -> FlowModelConfig:
             use_pallas=bool(ipa.get("use_pallas", m.get("use_pallas", False))),
             use_pallas_ipa=bool(ipa.get("use_pallas_ipa", False)),
         ),
+        # Key-compatibility note: the reference's learn_angle.yaml carries
+        # `interpolant.self_condition: False` (learn_angle.yaml:34) but the
+        # reference NEVER reads it — no self-conditioning is implemented
+        # anywhere in models_con/. The key is accepted here (any unknown
+        # interpolant key passes through `itp` untouched) and likewise
+        # ignored, matching the reference's effective behavior exactly.
         interpolant=InterpolantConfig(
             min_t=float(itp.get("min_t", 1e-2)),
             t_normalization_clip=float(itp.get("t_normalization_clip", 0.9)),
