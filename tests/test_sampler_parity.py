@@ -125,6 +125,55 @@ def test_trained_sampler_statistics_match_reference(golden):
     check("trans_norm", trans_norm, g["trans_norm"])
 
 
+def test_trained_sampler_held_out_complex(golden):
+    """Same trained oracle, but on a complex the model NEVER saw (r3: second
+    complex in the fixture). Generalization-regime statistics (broader CA
+    spread, lower AAR) probe the sampler from a different operating point —
+    a bias that cancels on the memorized complex can't also cancel here."""
+    g = golden("sampler_stats_trained")
+    if "h_aar" not in g.files:
+        pytest.skip("fixture predates the held-out complex (regenerate)")
+    nb = int(g["num_blocks"])
+    steps = int(g["num_steps"])
+    n = int(g["num_samples"])
+
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_state_dict(sd, num_blocks=nb, seq_tfmr_num_layers=2)
+    model = FlowModel(FlowModelConfig(ipa=IPAConfig(num_blocks=nb)))
+    batch = {k[7:]: jnp.asarray(g[k]) for k in g.files if k.startswith("batchh_")}
+
+    out = sampling.euler_sample(
+        model, params, batch, jax.random.PRNGKey(23), num_steps=steps,
+    )
+    gen = np.asarray(batch["generate_mask"]).astype(bool)
+    trans = np.asarray(out["trans"])
+    trans_1 = np.asarray(out["trans_1"])
+    rot = np.asarray(out["rotmats"])
+    rot_1 = np.asarray(out["rotmats_1"])
+    seqs = np.asarray(out["seqs"])
+    seqs_1 = np.asarray(out["seqs_1"])
+
+    ca_dev = np.sqrt((np.square(trans - trans_1).sum(-1) * gen).sum(-1) / gen.sum(-1))
+    rot_dev = np.sqrt((np.square(rot - rot_1).sum((-1, -2)) * gen).sum(-1) / gen.sum(-1))
+    aar = ((seqs == seqs_1) * gen).sum(-1) / gen.sum(-1)
+    trans_norm = np.sqrt((np.square(trans).sum(-1) * gen).sum(-1) / gen.sum(-1))
+
+    def check(name, ours, ref_vals):
+        ref_mean = float(np.mean(ref_vals))
+        our_mean = float(np.mean(ours))
+        sem = np.sqrt(np.var(ref_vals) / n + np.var(ours) / len(ours))
+        tol = 2.0 * float(sem) + max(0.05 * float(np.std(ref_vals)), 1e-3)
+        assert abs(our_mean - ref_mean) <= tol, (
+            f"held-out {name}: ours {our_mean:.4f} vs trained ref {ref_mean:.4f} "
+            f"(tol {tol:.4f}, ref std {float(np.std(ref_vals)):.4f})"
+        )
+
+    check("ca_dev", ca_dev, g["h_ca_dev"])
+    check("rot_dev", rot_dev, g["h_rot_dev"])
+    check("aar", aar, g["h_aar"])
+    check("trans_norm", trans_norm, g["h_trans_norm"])
+
+
 def test_trained_sampler_bf16_pallas_profile(golden):
     """The PRODUCTION profile (bf16 + fused Pallas kernels, learn_angle_tpu)
     must also land inside the trained reference's 2-sigma envelope — ties the
@@ -159,8 +208,10 @@ def test_trained_sampler_bf16_pallas_profile(golden):
     for name, ours in (("aar", aar), ("trans_norm", trans_norm)):
         ref = g[name]
         sem = np.sqrt(np.var(ref) / n + np.var(ours) / len(ours))
-        # extra floor: bf16 rounding walks a slightly different trajectory
-        tol = 2.0 * float(sem) + max(0.15 * float(np.std(ref)), 1e-2)
+        # 2*SEM-dominated bound (VERDICT r2 item 7: floor dropped from the
+        # round-2 1e-2 now that the oracle pools 64x4 runs and ours 3x64):
+        # a systematic ~2-point AAR bias now exceeds the tolerance.
+        tol = 2.0 * float(sem) + max(0.05 * float(np.std(ref)), 3e-3)
         diff = abs(float(np.mean(ours)) - float(np.mean(ref)))
         assert diff <= tol, (
             f"bf16 profile {name}: ours {np.mean(ours):.4f} vs trained ref "

@@ -39,7 +39,7 @@ from easydict import EasyDict  # noqa: E402
 from models_con.flow_model import FlowModel as RefFlowModel  # noqa: E402
 
 NUM_BLOCKS = 2
-NUM_SAMPLES = 24
+NUM_SAMPLES = 64  # r3: was 24; 64x4 pooled runs tighten the SEM ~1.6x
 NUM_STEPS = 25
 TRAIN_STEPS = int(os.environ.get("TRAIN_STEPS", 2000))
 LOSS_WEIGHTS = {  # configs/learn_angle.yaml:37-43
@@ -118,51 +118,63 @@ for it in range(1, 0 if resume else TRAIN_STEPS + 1):
         print(f"step {it:4d} loss {float(loss):8.3f} | {detail}", flush=True)
 
 model.eval()
-item = train_items[0]
-nb = device_batch(pad_and_collate(replicate_item(item, NUM_SAMPLES), pad_to=24))
-tb = to_torch(nb)
 
-# Pool statistics over several sampling runs: the reference draws its SO(3)
-# init noise from scipy via the numpy GLOBAL rng (pepflow/modules/so3/
-# dist.py:40-45), so a single torch seed does not pin its output
-# distribution; the run-to-run spread of the per-run mean is comparable to
-# the SEM over replicas. Pooling 4x24 runs makes the recorded spread honest.
-gen = nb["generate_mask"].astype(bool)
-ca_dev, rot_dev, aar, trans_norm, ang_mean = [], [], [], [], []
-for seed in (5, 6, 7, 8):
-    torch.manual_seed(seed)
-    np.random.seed(seed)
-    with torch.no_grad():
-        final = model.sample(tb, num_steps=NUM_STEPS)[-1]
-    trans = final["trans"].numpy()
-    trans_1 = final["trans_1"].numpy()
-    rot = final["rotmats"].numpy()
-    rot_1 = final["rotmats_1"].numpy()
-    seqs = final["seqs"].numpy()
-    seqs_1 = final["seqs_1"].numpy()
-    angles = final["angles"].numpy()
-    ca_dev.append(np.sqrt((np.square(trans - trans_1).sum(-1) * gen).sum(-1) / gen.sum(-1)))
-    rot_dev.append(np.sqrt((np.square(rot - rot_1).sum((-1, -2)) * gen).sum(-1) / gen.sum(-1)))
-    aar.append(((seqs == seqs_1) * gen).sum(-1) / gen.sum(-1))
-    trans_norm.append(np.sqrt((np.square(trans).sum(-1) * gen).sum(-1) / gen.sum(-1)))
-    ang_mean.append((np.abs(angles).mean(-1) * gen).sum(-1) / gen.sum(-1))
-ca_dev = np.concatenate(ca_dev)
-rot_dev = np.concatenate(rot_dev)
-aar = np.concatenate(aar)
-trans_norm = np.concatenate(trans_norm)
-ang_mean = np.concatenate(ang_mean)
+
+def sample_stats(item, seeds):
+    """Pool final-step statistics over several sampling runs: the reference
+    draws its SO(3) init noise from scipy via the numpy GLOBAL rng
+    (pepflow/modules/so3/dist.py:40-45), so a single torch seed does not pin
+    its output distribution; the run-to-run spread of the per-run mean is
+    comparable to the SEM over replicas. Pooling len(seeds) x NUM_SAMPLES
+    runs makes the recorded spread honest."""
+    nb = device_batch(pad_and_collate(replicate_item(item, NUM_SAMPLES), pad_to=24))
+    tb = to_torch(nb)
+    gen = nb["generate_mask"].astype(bool)
+    acc = {k: [] for k in ("ca_dev", "rot_dev", "aar", "trans_norm", "ang_mean")}
+    for seed in seeds:
+        torch.manual_seed(seed)
+        np.random.seed(seed)
+        with torch.no_grad():
+            final = model.sample(tb, num_steps=NUM_STEPS)[-1]
+        trans = final["trans"].numpy()
+        trans_1 = final["trans_1"].numpy()
+        rot = final["rotmats"].numpy()
+        rot_1 = final["rotmats_1"].numpy()
+        seqs = final["seqs"].numpy()
+        seqs_1 = final["seqs_1"].numpy()
+        angles = final["angles"].numpy()
+        acc["ca_dev"].append(np.sqrt((np.square(trans - trans_1).sum(-1) * gen).sum(-1) / gen.sum(-1)))
+        acc["rot_dev"].append(np.sqrt((np.square(rot - rot_1).sum((-1, -2)) * gen).sum(-1) / gen.sum(-1)))
+        acc["aar"].append(((seqs == seqs_1) * gen).sum(-1) / gen.sum(-1))
+        acc["trans_norm"].append(np.sqrt((np.square(trans).sum(-1) * gen).sum(-1) / gen.sum(-1)))
+        acc["ang_mean"].append((np.abs(angles).mean(-1) * gen).sum(-1) / gen.sum(-1))
+    return nb, {k: np.concatenate(v) for k, v in acc.items()}
+
+
+SEEDS = (5, 6, 7, 8)
+nb, stats = sample_stats(train_items[0], SEEDS)
+
+# Second, HELD-OUT complex (VERDICT r2 item 7): the model never saw it, so
+# its statistics probe generalization-regime sampler behavior (broader CA
+# spread, lower AAR) — a bias that happens to cancel on the memorized
+# complex cannot also cancel here.
+held_out = make_complex(rng, pep_len=10, rec_len=14, complex_id="h0")
+nb2, stats2 = sample_stats(held_out, (9, 10, 11, 12))
 
 out = {
     "num_blocks": np.int32(NUM_BLOCKS),
     "num_steps": np.int32(NUM_STEPS),
-    "num_samples": np.int32(4 * NUM_SAMPLES),
+    "num_samples": np.int32(len(SEEDS) * NUM_SAMPLES),
     "train_steps": np.int32(TRAIN_STEPS),
-    "ca_dev": ca_dev, "rot_dev": rot_dev, "aar": aar,
-    "trans_norm": trans_norm, "ang_mean": ang_mean,
+    **stats,
+    **{f"h_{k}": v for k, v in stats2.items()},
 }
 for k, v in nb.items():
     if isinstance(v, np.ndarray):
         out[f"batch_{k}"] = v
+for k, v in nb2.items():
+    if isinstance(v, np.ndarray):
+        out[f"batchh_{k}"] = v
 for k, v in model.state_dict().items():
     out[f"sd::{k}"] = v.numpy()
 
@@ -170,7 +182,6 @@ path = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
                     "sampler_stats_trained.npz")
 np.savez_compressed(path, **out)
 print(f"wrote {path} ({os.path.getsize(path)/1e6:.1f} MB)")
-print("trained ca_dev mean/std:", float(np.mean(ca_dev)), float(np.std(ca_dev)))
-print("trained rot_dev mean/std:", float(np.mean(rot_dev)), float(np.std(rot_dev)))
-print("trained aar mean/std:", float(np.mean(aar)), float(np.std(aar)))
-print("trained trans_norm mean/std:", float(np.mean(trans_norm)), float(np.std(trans_norm)))
+for label, s in (("trained", stats), ("held-out", stats2)):
+    for k in ("ca_dev", "rot_dev", "aar", "trans_norm"):
+        print(f"{label} {k} mean/std:", float(np.mean(s[k])), float(np.std(s[k])))
