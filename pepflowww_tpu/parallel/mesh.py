@@ -27,17 +27,44 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data") -> Mesh:
 
 
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data") -> dict:
-    """Put batch arrays on the mesh, sharded along the leading axis."""
+    """Put batch arrays on the mesh, sharded along the leading axis.
+
+    Single-process: the full global batch is addressable; a plain device_put
+    distributes it. Multi-process (`--multihost`): each process holds only its
+    OWN shard of the global batch (the DataLoader's contiguous block — see
+    DataLoader.__iter__), so the global array is assembled from the
+    process-local rows; jax's row-block ownership under P("data") matches the
+    loader's contiguous slicing, making global row order identical to the
+    single-process plan order.
+    """
     sharding = NamedSharding(mesh, P(axis_name))
+    multiprocess = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape") and v.ndim >= 1:
-            out[k] = jax.device_put(v, sharding)
+            if multiprocess:
+                out[k] = jax.make_array_from_process_local_data(sharding, np.asarray(v))
+            else:
+                out[k] = jax.device_put(v, sharding)
         else:
             out[k] = v
     return out
 
 
 def replicate(tree, mesh: Mesh):
+    """Replicate a pytree onto every device of the mesh.
+
+    Multi-process: device_put cannot target non-addressable devices, so the
+    global replicated array is assembled from the (identical) process-local
+    copy — every process MUST hold the same values (train.py guarantees this
+    by seeding init identically on all processes).
+    """
     sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda v: jax.make_array_from_process_local_data(
+                sharding, np.asarray(v)
+            ),
+            tree,
+        )
     return jax.device_put(tree, sharding)
