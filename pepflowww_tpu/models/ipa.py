@@ -109,6 +109,7 @@ class EdgeTransition(nn.Module):
     node_dilation: int = 2
     dtype: Optional[Dtype] = None
     use_pallas: bool = False
+    quant_int8: bool = False  # serving-only int8 pair GEMMs (forward kernel)
 
     @nn.compact
     def __call__(self, node_embed, edge_embed, node_mask=None):
@@ -135,13 +136,24 @@ class EdgeTransition(nn.Module):
         B, L, _ = node_bias.shape
 
         if self.use_pallas and not self.is_initializing():
+            mask = node_mask if node_mask is not None else jnp.ones((B, L))
+            p = {"k1": k1, "b1": b1, "k2": k2, "b2": b2, "k3": k3, "b3": b3,
+                 "ln_scale": ln_scale, "ln_bias": ln_bias}
+            if self.quant_int8:
+                # int8 serving profile: forward-only kernel (no VJP — the
+                # sampler never differentiates; training configs must not
+                # set quant_int8).
+                from pepflowww_tpu.models.pallas_edge import fused_edge_transition
+
+                return fused_edge_transition(
+                    edge_embed, node_bias, mask, p,
+                    dtype=cdt if self.dtype is not None else jnp.float32,
+                    quant_int8=True,
+                )
             from pepflowww_tpu.models.pallas_edge_bwd import fused_edge_transition_vjp
 
-            mask = node_mask if node_mask is not None else jnp.ones((B, L))
             out = fused_edge_transition_vjp(
-                edge_embed, node_bias, mask,
-                {"k1": k1, "b1": b1, "k2": k2, "b2": b2, "k3": k3, "b3": b3,
-                 "ln_scale": ln_scale, "ln_bias": ln_bias},
+                edge_embed, node_bias, mask, p,
                 cdt if self.dtype is not None else jnp.float32,
             )
             return out

@@ -33,12 +33,34 @@ from jax.experimental.pallas import tpu as pltpu
 from pepflowww_tpu.models.pallas_common import resolve_interpret
 
 
+def _quant_rows(x, limit=127.0):
+    """Symmetric per-row int8 quantization of a (P, N) fp32 tile.
+
+    Returns (q_int8, row_scale_f32[P, 1]); all-zero rows get scale 0 (their
+    products dequantize to exact 0)."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    inv = jnp.where(amax > 0, limit / amax, 0.0)
+    q = jnp.round(x * inv).astype(jnp.int8)
+    return q, amax / limit
+
+
 def _kernel(edge_ref, node_ref, mask_ref,
             w1e_ref, w1i_ref, w1j_ref, b1_ref,
             w2_ref, b2_ref,
             w3h_ref, w3e_ref, w3i_ref, w3j_ref, b3_ref,
             ln_scale_ref, ln_bias_ref,
-            out_ref, *, k_i: int, L: int, eps: float):
+            *refs, k_i: int, L: int, eps: float, quant_int8: bool,
+            int8_w3: bool = True):
+    if quant_int8:
+        # w2/w3h arrive int8 with per-output-channel scales (quantized once
+        # outside; XLA hoists that out of the sampler's scan — the weights
+        # are loop-invariant).
+        if int8_w3:
+            w2s_ref, w3hs_ref, out_ref = refs
+        else:
+            w2s_ref, out_ref = refs
+    else:
+        (out_ref,) = refs
     f32 = jnp.float32
     e = edge_ref[0]              # (TILE_P, CZ)
     node = node_ref[0]           # (L, CB) — all nodes of this batch row
@@ -54,13 +76,30 @@ def _kernel(edge_ref, node_ref, mask_ref,
     y_j_b = jnp.broadcast_to(y_j[None, :, :], (k_i, L, H)).reshape(k_i * L, H)
     h = jax.nn.relu(y_e + y_i_b + y_j_b + b1_ref[:].astype(f32))
 
-    h = jax.nn.relu(
-        jnp.dot(h.astype(w2_ref.dtype), w2_ref[:], preferred_element_type=f32)
-        + b2_ref[:].astype(f32)
-    )
+    if quant_int8:
+        # The two Hp-wide GEMMs (85% of kernel FLOPs) on the int8 MXU:
+        # dynamic per-row activation scales x static per-channel weight
+        # scales, int32 accumulation. See PERF.md: the quantize passes cost
+        # more than the int8 MXU saves at these dims (opt-in only).
+        hq, hs = _quant_rows(h)
+        acc = jnp.dot(hq, w2_ref[:], preferred_element_type=jnp.int32)
+        h = jax.nn.relu(
+            acc.astype(f32) * hs * w2s_ref[:].astype(f32)
+            + b2_ref[:].astype(f32)
+        )
+    else:
+        h = jax.nn.relu(
+            jnp.dot(h.astype(w2_ref.dtype), w2_ref[:], preferred_element_type=f32)
+            + b2_ref[:].astype(f32)
+        )
 
     # Final projection of (h + concat), with the concat term factorized too.
-    o = jnp.dot(h.astype(w3h_ref.dtype), w3h_ref[:], preferred_element_type=f32)
+    if quant_int8 and int8_w3:
+        hq3, hs3 = _quant_rows(h)
+        acc3 = jnp.dot(hq3, w3h_ref[:], preferred_element_type=jnp.int32)
+        o = acc3.astype(f32) * hs3 * w3hs_ref[:].astype(f32)
+    else:
+        o = jnp.dot(h.astype(w3h_ref.dtype), w3h_ref[:], preferred_element_type=f32)
     o = o + jnp.dot(e, w3e_ref[:], preferred_element_type=f32)
     oi = jnp.dot(node_i, w3i_ref[:], preferred_element_type=f32)      # (K_I, CZ)
     oj = jnp.dot(node, w3j_ref[:], preferred_element_type=f32)        # (L, CZ)
@@ -83,6 +122,14 @@ def _kernel(edge_ref, node_ref, mask_ref,
     out_ref[0] = o.astype(out_ref.dtype)                # (K_I, L, CZ) block
 
 
+def _quant_cols(w):
+    """Symmetric per-output-channel int8 quantization of a (K, N) weight."""
+    w = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w), axis=0, keepdims=True)   # (1, N)
+    inv = jnp.where(amax > 0, 127.0 / amax, 0.0)
+    return jnp.round(w * inv).astype(jnp.int8), amax / 127.0
+
+
 def fused_edge_transition(
     edge: jax.Array,        # (B, L, L, CZ)
     node_bias: jax.Array,   # (B, L, CB) — output of the initial node Linear
@@ -92,10 +139,22 @@ def fused_edge_transition(
     dtype=jnp.bfloat16,
     eps: float = 1e-5,  # torch LayerNorm default, matches the XLA path
     k_i: Optional[int] = None,
+    quant_int8: bool = False,
+    int8_w3: bool = True,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Apply the fused kernel; numerically equivalent to the XLA EdgeTransition
-    (post node-bias Linear) at compute precision `dtype`."""
+    (post node-bias Linear) at compute precision `dtype`.
+
+    `quant_int8`: the two Hp-wide GEMMs run int8xint8->int32 on the MXU with
+    dynamic per-row activation scales and static per-channel weight scales;
+    the 64-wide edge/node contractions, accumulation, LayerNorm and mask stay
+    in `dtype`/fp32. Quality is oracle-gated (tests/test_sampler_parity.py
+    int8 profile) and forward-only. MEASURED SLOWER than bf16 on v5e at the
+    flagship dims (0.74 vs 0.60 ms/call; the in-kernel row-max/round/convert
+    VPU passes cost more than the int8 MXU saves — PERF.md "int8 pair
+    kernels"): kept opt-in for chips/dims where the balance shifts, NOT the
+    default serving profile."""
     interpret = resolve_interpret(interpret)
     assert num_layers == 2, "kernel fuses the 2-layer reference configuration"
     B, L, _, CZ = edge.shape
@@ -126,6 +185,15 @@ def fused_edge_transition(
     w3e, w3i, w3j = w3[:CZ], w3[CZ:CZ + CB], w3[CZ + CB:]
     w3h = w3
 
+    w2s = w3hs = None
+    if quant_int8:
+        # quantize from the ORIGINAL fp32 weights (not the bf16 casts)
+        w2q = jnp.pad(params["k2"], ((0, Hp - Hd), (0, Hp - Hd))) if Hp != Hd else params["k2"]
+        w2, w2s = _quant_cols(w2q)
+        if int8_w3:
+            w3q = jnp.pad(params["k3"], ((0, Hp - Hd), (0, 0))) if Hp != Hd else params["k3"]
+            w3h, w3hs = _quant_cols(w3q)
+
     if k_i is None:
         # ~2048 pair rows per tile keeps every intermediate comfortably in
         # VMEM; tile sweeps (512..4096 rows) measured within ±3% end-to-end,
@@ -141,33 +209,42 @@ def fused_edge_transition(
     pair_mask = nm[:, :, None] * nm[:, None, :]         # (B, L, L), lane dim L
     node_bias = node_bias.astype(dtype)
 
-    kernel = functools.partial(_kernel, k_i=k_i, L=L, eps=eps)
+    kernel = functools.partial(_kernel, k_i=k_i, L=L, eps=eps,
+                               quant_int8=quant_int8, int8_w3=int8_w3)
 
     full = lambda *idx: (0, 0)
+    in_specs = [
+        pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
+        pl.BlockSpec((1, L, CB), lambda b, p: (b, 0, 0)),
+        pl.BlockSpec((1, k_i, L), lambda b, p: (b, p, 0)),
+        # weights: whole-array blocks, identical for every program
+        pl.BlockSpec((CZ, Hp), full), pl.BlockSpec((CB, Hp), full),
+        pl.BlockSpec((CB, Hp), full), pl.BlockSpec((1, Hp), full),
+        pl.BlockSpec((Hp, Hp), full), pl.BlockSpec((1, Hp), full),
+        pl.BlockSpec((Hp, CZ), full), pl.BlockSpec((CZ, CZ), full),
+        pl.BlockSpec((CB, CZ), full), pl.BlockSpec((CB, CZ), full),
+        pl.BlockSpec((1, CZ), full),
+        pl.BlockSpec((1, CZ), full), pl.BlockSpec((1, CZ), full),
+    ]
+    operands = [
+        edge_flat, node_bias, pair_mask,
+        w1e, w1i, w1j, b1, w2, b2, w3h, w3e, w3i, w3j, b3, ln_scale, ln_bias,
+    ]
+    if quant_int8:
+        in_specs += [pl.BlockSpec((1, Hp), full)]
+        operands += [w2s]
+        if int8_w3:
+            in_specs += [pl.BlockSpec((1, CZ), full)]
+            operands += [w3hs]
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, tile_p, CZ), lambda b, p: (b, p, 0)),
-            pl.BlockSpec((1, L, CB), lambda b, p: (b, 0, 0)),
-            pl.BlockSpec((1, k_i, L), lambda b, p: (b, p, 0)),
-            # weights: whole-array blocks, identical for every program
-            pl.BlockSpec((CZ, Hp), full), pl.BlockSpec((CB, Hp), full),
-            pl.BlockSpec((CB, Hp), full), pl.BlockSpec((1, Hp), full),
-            pl.BlockSpec((Hp, Hp), full), pl.BlockSpec((1, Hp), full),
-            pl.BlockSpec((Hp, CZ), full), pl.BlockSpec((CZ, CZ), full),
-            pl.BlockSpec((CB, CZ), full), pl.BlockSpec((CB, CZ), full),
-            pl.BlockSpec((1, CZ), full),
-            pl.BlockSpec((1, CZ), full), pl.BlockSpec((1, CZ), full),
-        ],
+        in_specs=in_specs,
         # 4-D output blocks: emitting (B, L², CZ) + reshape made XLA assign a
         # batch-minor layout to the custom-call result at B=128 (B exactly
         # fills a lane tile) and copy the full pair tensor 5x/step.
         out_specs=pl.BlockSpec((1, k_i, L, CZ), lambda b, p: (b, p, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, L, L, CZ), dtype),
         interpret=interpret,
-    )(
-        edge_flat, node_bias, pair_mask,
-        w1e, w1i, w1j, b1, w2, b2, w3h, w3e, w3i, w3j, b3, ln_scale, ln_bias,
-    )
+    )(*operands)
     return out

@@ -50,6 +50,12 @@ class IPAConfig:
     # instruction-latency bound and XLA's batched einsums win. Kept opt-in
     # for future chips/dims where the balance shifts.
     use_pallas_ipa: bool = False
+    # int8 pair GEMMs in the EdgeTransition kernels (dynamic per-row
+    # activation scaling, forward-only — never set for training). Correct
+    # and oracle-gated, but MEASURED SLOWER than bf16 on v5e at the flagship
+    # dims (PERF.md "int8 pair kernels": quantize VPU passes outweigh the
+    # int8 MXU saving). Opt-in for future chips/dims only.
+    quant_int8: bool = False
 
     @property
     def compute_dtype(self):
@@ -107,7 +113,8 @@ class GAEncoder(nn.Module):
                 edge_embed = EdgeTransition(
                     node_embed_size=cfg.c_s, edge_embed_in=cfg.c_z,
                     edge_embed_out=cfg.c_z, dtype=cdt,
-                    use_pallas=cfg.use_pallas, name=f"edge_transition_{b}",
+                    use_pallas=cfg.use_pallas, quant_int8=cfg.quant_int8,
+                    name=f"edge_transition_{b}",
                 )(node_embed, edge_embed, node_mask=node_mask)
 
         pred_trans1 = tr

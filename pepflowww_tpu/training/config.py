@@ -66,6 +66,7 @@ def model_config_from_dict(m: dict) -> FlowModelConfig:
             dtype=ipa.get("dtype", enc.get("dtype", m.get("dtype"))),
             use_pallas=bool(ipa.get("use_pallas", m.get("use_pallas", False))),
             use_pallas_ipa=bool(ipa.get("use_pallas_ipa", False)),
+            quant_int8=bool(ipa.get("quant_int8", False)),
         ),
         # Key-compatibility note: the reference's learn_angle.yaml carries
         # `interpolant.self_condition: False` (learn_angle.yaml:34) but the

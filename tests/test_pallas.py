@@ -68,6 +68,25 @@ def test_fused_matches_xla_bf16(setup):
     )
 
 
+def test_fused_int8_close_to_fp32(setup):
+    """int8 serving profile (quant_int8): dynamic per-row activation scales x
+    per-channel weight scales on the two Hp-wide GEMMs. Post-LayerNorm output
+    must track the fp32 path to quantization noise (sub-percent mean error);
+    end-to-end quality is separately gated by the trained-oracle envelope
+    (test_sampler_parity.py::test_trained_sampler_int8_profile)."""
+    module, params, node, edge, node_mask = setup
+    ref = np.asarray(module.apply({"params": params}, node, edge, node_mask=node_mask))
+    nb = _node_bias(params, node)
+    out = np.asarray(fused_edge_transition(
+        edge, nb, node_mask, _kernel_params(params),
+        dtype=jnp.float32, quant_int8=True, interpret=True,
+    ), dtype=np.float32)
+    err = np.abs(out - ref)
+    scale = max(float(ref.std()), 1e-6)
+    assert float(err.mean()) / scale < 0.02, (err.mean(), scale)
+    assert float(err.max()) / scale < 0.15, (err.max(), scale)
+
+
 def test_use_pallas_flag_in_module(setup):
     """EdgeTransition(use_pallas=True) must agree with the XLA module."""
     module, params, node, edge, node_mask = setup

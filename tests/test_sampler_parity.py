@@ -174,6 +174,47 @@ def test_trained_sampler_held_out_complex(golden):
     check("trans_norm", trans_norm, g["h_trans_norm"])
 
 
+def test_trained_sampler_int8_profile(golden):
+    """The int8 serving profile (quant_int8: EdgeTransition pair GEMMs on the
+    int8 MXU) must land inside the trained oracle's envelope — the quality
+    gate for VERDICT r2 item 1, structured exactly like the bf16 profile
+    test below."""
+    g = golden("sampler_stats_trained")
+    nb = int(g["num_blocks"])
+    steps = int(g["num_steps"])
+    n = int(g["num_samples"])
+
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    params = convert_state_dict(sd, num_blocks=nb, seq_tfmr_num_layers=2)
+    model = FlowModel(FlowModelConfig(
+        ipa=IPAConfig(num_blocks=nb, dtype="bfloat16", use_pallas=True,
+                      quant_int8=True)))
+    batch = {k[6:]: jnp.asarray(g[k]) for k in g.files if k.startswith("batch_")}
+
+    gen = np.asarray(batch["generate_mask"]).astype(bool)
+    fn = sampling.make_sampler(model, num_steps=steps)
+    aar_runs, tn_runs = [], []
+    for seed in (29, 30, 31):
+        out = fn(params, batch, jax.random.PRNGKey(seed))
+        trans = np.asarray(out["trans"])
+        seqs, seqs_1 = np.asarray(out["seqs"]), np.asarray(out["seqs_1"])
+        aar_runs.append(((seqs == seqs_1) * gen).sum(-1) / gen.sum(-1))
+        tn_runs.append(np.sqrt((np.square(trans).sum(-1) * gen).sum(-1) / gen.sum(-1)))
+    aar = np.concatenate(aar_runs)
+    trans_norm = np.concatenate(tn_runs)
+
+    for name, ours in (("aar", aar), ("trans_norm", trans_norm)):
+        ref = g[name]
+        sem = np.sqrt(np.var(ref) / n + np.var(ours) / len(ours))
+        # int8 quantization noise gets the same envelope structure as bf16
+        # rounding: 2*SEM-dominated with a small floor.
+        tol = 2.0 * float(sem) + max(0.05 * float(np.std(ref)), 3e-3)
+        diff = abs(float(np.mean(ours)) - float(np.mean(ref)))
+        assert diff <= tol, (
+            f"int8 profile {name}: ours {np.mean(ours):.4f} vs trained ref "
+            f"{np.mean(ref):.4f} (tol {tol:.4f})")
+
+
 def test_trained_sampler_bf16_pallas_profile(golden):
     """The PRODUCTION profile (bf16 + fused Pallas kernels, learn_angle_tpu)
     must also land inside the trained reference's 2-sigma envelope — ties the
