@@ -125,6 +125,60 @@ def make_complex(
     }
 
 
+def make_raw_complex(
+    rng: np.random.Generator,
+    pep_len: int = 12,
+    rec_len: int = 80,
+    complex_id: str = "synth",
+):
+    """One synthetic RAW receptor–peptide complex whose receptor residues
+    cluster AROUND the peptide (each CA placed 4.5–16 Å from a random peptide
+    CA), so `tools/make_dataset.py`'s pocket@10 Å carve keeps a realistic
+    15–70-residue pocket instead of the tail of a wandering chain walk.
+    Used only by `make_synthetic_structures.py --raw` (round-3 rehearsal);
+    `make_complex` stays the fixture-pinned generator."""
+    L = rec_len + pep_len
+    aa = rng.integers(0, 20, size=(L,)).astype(np.int64)
+
+    pep_steps = rng.normal(scale=1.5, size=(pep_len, 3)).astype(np.float32)
+    pep_t = np.cumsum(pep_steps + np.array([3.8, 0, 0], dtype=np.float32), axis=0)
+
+    anchors = pep_t[rng.integers(0, pep_len, size=rec_len)]
+    dirs = rng.normal(size=(rec_len, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True) + 1e-8
+    dist = rng.uniform(4.5, 16.0, size=(rec_len, 1)).astype(np.float32)
+    rec_t = anchors + dirs * dist
+
+    t = np.concatenate([rec_t, pep_t], axis=0).astype(np.float32)
+    R = _random_rotmats(rng, (L,))
+    angles = (rng.uniform(0, 2 * np.pi, size=(L, 5))).astype(np.float32)
+    angles = angles * C.TORSIONS_MASK[aa]
+    pos15 = _build_pos15(aa, R, t, angles)
+
+    mask15 = C.HEAVYATOM_MASK_GEN[aa].copy()
+    chain_nb = np.concatenate(
+        [np.ones(rec_len, dtype=np.int64), np.zeros(pep_len, dtype=np.int64)]
+    )
+    res_nb = np.concatenate(
+        [np.arange(1, rec_len + 1, dtype=np.int64),
+         np.arange(1, pep_len + 1, dtype=np.int64)]
+    )
+    return {
+        "id": complex_id,
+        "aa": aa,
+        "pos_heavyatom": pos15,
+        "mask_heavyatom": mask15,
+        "chain_nb": chain_nb,
+        "chain_id": ["B"] * rec_len + ["A"] * pep_len,
+        "res_nb": res_nb,
+        "resseq": res_nb.copy(),
+        "icode": [" "] * L,
+        "generate_mask": np.concatenate(
+            [np.zeros(rec_len, dtype=bool), np.ones(pep_len, dtype=bool)]
+        ),
+    }
+
+
 def make_batch(
     rng: np.random.Generator,
     batch_size: int = 4,

@@ -26,19 +26,26 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--min_rec", type=int, default=15)
     ap.add_argument("--max_rec", type=int, default=110)
+    ap.add_argument("--raw", action="store_true",
+                    help="write one RAW complex PDB per id (receptor chain B "
+                         "+ peptide chain A in a single file) instead of the "
+                         "pre-split peptide.pdb/pocket.pdb pair — the input "
+                         "layout tools/make_dataset.py consumes, so the full "
+                         "merge.ipynb-equivalent pocket@10A carve can run on "
+                         "synthetic data (round-3 rehearsal)")
     args = ap.parse_args()
 
     from pepflowww_tpu.data.pdb import save_pdb
-    from pepflowww_tpu.data.synthetic import make_complex
+    from pepflowww_tpu.data.synthetic import make_complex, make_raw_complex
 
+    os.makedirs(args.out, exist_ok=True)
     rng = np.random.default_rng(args.seed)
     for i in range(args.n):
         pep_len = int(rng.integers(3, 26))
         rec_len = int(rng.integers(args.min_rec, args.max_rec + 1))
-        item = make_complex(rng, pep_len=pep_len, rec_len=rec_len,
-                            complex_id=f"synth_{i:04d}")
-        cdir = os.path.join(args.out, f"synth_{i:04d}")
-        os.makedirs(cdir, exist_ok=True)
+        gen = make_raw_complex if args.raw else make_complex
+        item = gen(rng, pep_len=pep_len, rec_len=rec_len,
+                   complex_id=f"synth_{i:04d}")
         sel = item["generate_mask"]
 
         def subset(keep):
@@ -50,8 +57,16 @@ def main():
                              "torsion_angle_mask")
             }
 
-        save_pdb(subset(sel), os.path.join(cdir, "peptide.pdb"))
-        save_pdb(subset(~sel), os.path.join(cdir, "pocket.pdb"))
+        if args.raw:
+            # single complex file; make_complex's receptor is a chain walk,
+            # so its far end genuinely falls outside the 10 A pocket cutoff
+            save_pdb(subset(np.ones_like(sel)),
+                     os.path.join(args.out, f"synth_{i:04d}.pdb"))
+        else:
+            cdir = os.path.join(args.out, f"synth_{i:04d}")
+            os.makedirs(cdir, exist_ok=True)
+            save_pdb(subset(sel), os.path.join(cdir, "peptide.pdb"))
+            save_pdb(subset(~sel), os.path.join(cdir, "pocket.pdb"))
     print(f"wrote {args.n} complexes under {args.out}")
 
 
