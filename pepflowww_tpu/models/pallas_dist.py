@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from pepflowww_tpu.models.pallas_common import resolve_interpret
+from pepflowww_tpu.models.pallas_common import pick_row_tile, resolve_interpret
 
 A = 15          # heavy atoms per residue
 AA2 = A * A     # 225 atom pairs
@@ -124,8 +124,7 @@ def fused_distance_embed(
     if k_i is None:
         # Tile sweep on v5e at flagship dims: 512 rows -> 0.88 ms,
         # 1024 -> 0.79, 2048 -> 0.77 per fwd call (bwd 1.76/1.61/1.42).
-        budget = max(1, 2048 // L)
-        k_i = max(d for d in range(1, min(L, budget) + 1) if L % d == 0)
+        k_i = pick_row_tile(L)
     grid = (B, L // k_i)
 
     kernel = functools.partial(_kernel, k_i=k_i, L=L, V=V)
@@ -284,8 +283,7 @@ def distance_embed_bwd(pos_nm, mask_atoms, aa_pair, pair_mask, table,
     xr, xt, sr, st, mr, mt = _precompute_expansions(pos_nm, mask_atoms)
 
     if k_i is None:
-        budget = max(1, 2048 // L)
-        k_i = max(d for d in range(1, min(L, budget) + 1) if L % d == 0)
+        k_i = pick_row_tile(L)
     grid = (B, L // k_i)
 
     kernel = functools.partial(_bwd_kernel, k_i=k_i, L=L, V=V)

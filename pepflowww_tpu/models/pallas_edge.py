@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pepflowww_tpu.models.pallas_common import resolve_interpret
+from pepflowww_tpu.models.pallas_common import pick_row_tile, resolve_interpret
 
 
 def _quant_rows(x, limit=127.0):
@@ -198,8 +198,7 @@ def fused_edge_transition(
         # ~2048 pair rows per tile keeps every intermediate comfortably in
         # VMEM; tile sweeps (512..4096 rows) measured within ±3% end-to-end,
         # with 2048 best.
-        budget = max(1, 2048 // L)
-        k_i = max(d for d in range(1, min(L, budget) + 1) if L % d == 0)
+        k_i = pick_row_tile(L)
     assert L % k_i == 0, (L, k_i)
     grid = (B, L // k_i)
     tile_p = k_i * L

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from pepflowww_tpu.models import pallas_edge
-from pepflowww_tpu.models.pallas_common import resolve_interpret
+from pepflowww_tpu.models.pallas_common import pick_row_tile, resolve_interpret
 
 
 def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
@@ -162,8 +162,7 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
         # Tile sweep (profiled on v5e at flagship dims, padded hidden):
         # 512 rows -> 2.06 ms, 1024 -> 1.73, 2048 -> 1.67 per call; 2048 still
         # fits the 16 MB scoped-vmem limit with the bf16 GEMM-input interior.
-        budget = max(1, 2048 // L)
-        k_i = max(d for d in range(1, min(L, budget) + 1) if L % d == 0)
+        k_i = pick_row_tile(L)
     grid = (B, L // k_i)
     tile_p = k_i * L
 

@@ -68,6 +68,24 @@ def test_fused_matches_xla_bf16(setup):
     )
 
 
+def test_row_tile_mosaic_legal_at_every_bucket():
+    """Mosaic requires block dims divisible by 8 or equal to the full dim.
+    The old largest-divisor-under-budget rule picked k_i=10 at L=160 and the
+    TPU lowering rejected it — found by the round-3 rehearsal's ragged
+    validation batch, the first on-chip visit to that bucket (interpret mode
+    does NOT enforce this, hence a direct invariant test)."""
+    from pepflowww_tpu.data.collate import DEFAULT_BUCKETS
+    from pepflowww_tpu.models.pallas_common import pick_row_tile
+
+    for L in tuple(DEFAULT_BUCKETS) + (16, 24, 320, 512):
+        k = pick_row_tile(L)
+        assert L % k == 0, (L, k)
+        assert k % 8 == 0 or k == L, (L, k)
+        # and the tile still respects the ~2048-row VMEM budget when possible
+        if any(L % d == 0 and d % 8 == 0 for d in range(1, max(1, 2048 // L) + 1)):
+            assert k * L <= 2048 * 8, (L, k)
+
+
 def test_fused_int8_close_to_fp32(setup):
     """int8 serving profile (quant_int8): dynamic per-row activation scales x
     per-channel weight scales on the two Hp-wide GEMMs. Post-LayerNorm output
