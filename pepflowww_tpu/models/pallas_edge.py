@@ -196,9 +196,11 @@ def fused_edge_transition(
 
     if k_i is None:
         # ~2048 pair rows per tile keeps every intermediate comfortably in
-        # VMEM; tile sweeps (512..4096 rows) measured within ±3% end-to-end,
-        # with 2048 best.
-        k_i = pick_row_tile(L)
+        # VMEM at the flagship CZ=64; tile sweeps (512..4096 rows) measured
+        # within ±3% end-to-end, with 2048 best. Wider models scale the row
+        # budget down (the 2x-width probe's CZ=128 backward overflowed the
+        # 16 MB scoped-vmem limit at 2048 rows).
+        k_i = pick_row_tile(L, budget_rows=max(256, 2048 * 64 // CZ))
     assert L % k_i == 0, (L, k_i)
     grid = (B, L // k_i)
     tile_p = k_i * L

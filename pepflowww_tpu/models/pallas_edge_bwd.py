@@ -161,8 +161,9 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
     if k_i is None:
         # Tile sweep (profiled on v5e at flagship dims, padded hidden):
         # 512 rows -> 2.06 ms, 1024 -> 1.73, 2048 -> 1.67 per call; 2048 still
-        # fits the 16 MB scoped-vmem limit with the bf16 GEMM-input interior.
-        k_i = pick_row_tile(L)
+        # fits the 16 MB scoped-vmem limit with the bf16 GEMM-input interior
+        # at CZ=64 — wider models scale the row budget down proportionally.
+        k_i = pick_row_tile(L, budget_rows=max(256, 2048 * 64 // CZ))
     grid = (B, L // k_i)
     tile_p = k_i * L
 
