@@ -45,6 +45,9 @@ class _State:
     lock = threading.Lock()
     args = None
     scheduler = None
+    #: 1-D `data` mesh when serving data-parallel over all local chips
+    #: (`--dp`); params replicate, merged request batches shard on axis 0.
+    mesh = None
 
 
 S = _State()
@@ -188,19 +191,34 @@ def _run_group(group_key, rows, contexts):
     bucket, steps = group_key
     # Pad the merged batch to a power-of-two size so compiled programs are
     # bounded per (bucket, steps); extra rows replicate the last item and are
-    # discarded from the results.
+    # discarded from the results. Under --dp the padded size is also rounded
+    # up to a multiple of the device count so the batch shards evenly.
     n_real = len(rows)
     n_padded = 1
     while n_padded < n_real:
         n_padded *= 2
+    if S.mesh is not None:
+        n_dev = S.mesh.devices.size
+        n_padded = max(n_padded, ((n_padded + n_dev - 1) // n_dev) * n_dev)
     rows = rows + [rows[-1]] * (n_padded - n_real)
     batch_np = pad_and_collate(rows, pad_to=bucket)
     batch = {k: jnp.asarray(v) for k, v in device_batch(batch_np).items()}
+    if S.mesh is not None:
+        from pepflowww_tpu.parallel.mesh import shard_batch
+
+        batch = shard_batch(batch, S.mesh)
 
     with S.lock:
         skey = (bucket, n_padded, steps)
         if skey not in S.samplers:
-            S.samplers[skey] = sampling.make_sampler(S.model, num_steps=steps)
+            # Under --dp: no microbatch chunking — the scheduler's max_batch
+            # is already 64 x n_devices (the per-chip optimum, PERF.md batch
+            # sweep), and the sharded inputs make the one jit program SPMD
+            # over the mesh.
+            S.samplers[skey] = sampling.make_sampler(
+                S.model, num_steps=steps,
+                microbatch=None if S.mesh is not None else 64,
+            )
         fn = S.samplers[skey]
         _KEY_COUNTER[0] += 1
         key = jax.random.PRNGKey(_KEY_COUNTER[0])
@@ -240,7 +258,8 @@ def _sample(req: dict) -> dict:
     bucket = bucket_length(len(item["aa"]))
 
     if S.scheduler is None:
-        S.scheduler = BatchScheduler(_run_group)
+        n_dev = S.mesh.devices.size if S.mesh is not None else 1
+        S.scheduler = BatchScheduler(_run_group, max_batch=64 * n_dev)
     rows = replicate_item(item, n)
     per_row = S.scheduler.submit((bucket, steps), rows, req)
     return {
@@ -297,6 +316,11 @@ def main():
                     help="comma-separated length buckets to precompile at "
                          "startup (e.g. '64,96'); first requests then skip "
                          "the ~60 s compile")
+    ap.add_argument("--dp", action="store_true",
+                    help="serve data-parallel over all local chips: merged "
+                         "request batches shard across a 1-D mesh (the "
+                         "scheduler's merge cap scales to 64 x n_devices), "
+                         "params replicate — mass-serving scale-out")
     args = ap.parse_args()
     S.args = args
 
@@ -332,20 +356,36 @@ def main():
     elif not args.synthetic_weights:
         print("[serve] WARNING: no checkpoint given; serving random weights")
 
+    if args.dp:
+        from pepflowww_tpu.parallel.mesh import make_mesh, replicate
+
+        S.mesh = make_mesh()
+        S.params = replicate(S.params, S.mesh)
+        print(f"[serve] data-parallel over {S.mesh.devices.size} devices")
+
     if args.warmup:
         from pepflowww_tpu import sampling
         from pepflowww_tpu.data.collate import pad_and_collate, replicate_item
         from pepflowww_tpu.data.synthetic import make_complex
 
+        n_dev = S.mesh.devices.size if S.mesh is not None else 1
+        warm_n = max(8, n_dev)
         for bucket in (int(b) for b in args.warmup.split(",")):
             item = make_complex(rng, pep_len=8, rec_len=max(bucket - 24, 8))
-            wb = device_batch(pad_and_collate(replicate_item(item, 8),
+            wb = device_batch(pad_and_collate(replicate_item(item, warm_n),
                                               pad_to=bucket))
             wb = {kk: jnp.asarray(v) for kk, v in wb.items()}
-            fn = sampling.make_sampler(S.model, num_steps=100)
+            fn = sampling.make_sampler(
+                S.model, num_steps=100,
+                microbatch=None if S.mesh is not None else 64,
+            )
+            if S.mesh is not None:
+                from pepflowww_tpu.parallel.mesh import shard_batch
+
+                wb = shard_batch(wb, S.mesh)
             np.asarray(fn(S.params, wb, jax.random.PRNGKey(0))["trans"])
-            S.samplers[(bucket, 8, 100)] = fn
-            print(f"[serve] warmed bucket {bucket} (100 steps, 8 samples)")
+            S.samplers[(bucket, warm_n, 100)] = fn
+            print(f"[serve] warmed bucket {bucket} (100 steps, {warm_n} samples)")
 
     server = ThreadingHTTPServer((args.host, args.port), Handler)
     print(f"[serve] listening on http://{args.host}:{args.port}")

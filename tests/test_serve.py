@@ -160,6 +160,36 @@ def test_batch_scheduler_concurrent_load_two_buckets(tiny_server, complex_pdbs, 
         assert max(sizes) >= 8, (gk, sizes)
 
 
+def test_dp_serving_over_device_mesh(tiny_server, complex_pdbs):
+    """--dp serving path: merged request batches shard over the 8-virtual-
+    device CPU mesh (params replicated, one SPMD sampler program, padded
+    batch rounded to a device multiple). Responses must be well-formed for
+    every request."""
+    import concurrent.futures
+
+    from pepflowww_tpu.parallel.mesh import make_mesh, replicate
+
+    pep_pdb, pocket_pdb = complex_pdbs
+    old_params, old_mesh = serve.S.params, serve.S.mesh
+    serve.S.mesh = make_mesh()
+    serve.S.params = replicate(serve.S.params, serve.S.mesh)
+    serve.S.scheduler = None  # rebuild with the dp-scaled merge cap
+    serve.S.samplers = {}
+    try:
+        req = {"pocket_pdb": pocket_pdb, "peptide_pdb": pep_pdb,
+               "num_samples": 3, "num_steps": 2}  # odd count -> device pad
+        with concurrent.futures.ThreadPoolExecutor(4) as ex:
+            futs = [ex.submit(_post, tiny_server, "/sample", req) for _ in range(4)]
+            outs = [f.result(timeout=900) for f in futs]
+    finally:
+        serve.S.params, serve.S.mesh = old_params, old_mesh
+        serve.S.scheduler = None
+        serve.S.samplers = {}
+    assert all(len(o["pdbs"]) == 3 for o in outs)
+    assert all(o["pdbs"][0].startswith("ATOM") for o in outs)
+    assert all(np.isfinite(o["metrics"]["ca_rmsd"]).all() for o in outs)
+
+
 def test_batch_scheduler_error_does_not_deadlock(tiny_server, complex_pdbs):
     """A device-call failure must propagate to ITS requests as HTTP 400 while
     concurrent requests in other groups complete — no hung events."""

@@ -38,10 +38,15 @@ torch.manual_seed(11)
 from easydict import EasyDict  # noqa: E402
 from models_con.flow_model import FlowModel as RefFlowModel  # noqa: E402
 
-NUM_BLOCKS = 2
+NUM_BLOCKS = int(os.environ.get("NUM_BLOCKS", 2))
 NUM_SAMPLES = 64  # r3: was 24; 64x4 pooled runs tighten the SEM ~1.6x
 NUM_STEPS = 25
 TRAIN_STEPS = int(os.environ.get("TRAIN_STEPS", 2000))
+#: output fixture name; NUM_BLOCKS=6 writes the production-depth oracle
+OUT_NAME = os.environ.get(
+    "OUT_NAME",
+    "sampler_stats_trained" if NUM_BLOCKS == 2 else f"sampler_stats_trained{NUM_BLOCKS}",
+)
 LOSS_WEIGHTS = {  # configs/learn_angle.yaml:37-43
     "trans_loss": 0.5, "rot_loss": 0.5, "bb_atom_loss": 0.25,
     "seqs_loss": 1.0, "angle_loss": 1.0, "torsion_loss": 0.5,
@@ -117,6 +122,18 @@ for it in range(1, 0 if resume else TRAIN_STEPS + 1):
         detail = " ".join(f"{k}={float(v):.3f}" for k, v in sorted(losses.items()))
         print(f"step {it:4d} loss {float(loss):8.3f} | {detail}", flush=True)
 
+PARAM_KEYS = {k for k, _ in model.named_parameters()}
+if os.environ.get("FP16_SD"):
+    # Halve the fixture size at deep configs: round trained parameters
+    # through fp16 BEFORE the reference statistics are sampled, so the
+    # stored fp16 state_dict reproduces exactly the weights that generated
+    # the recorded statistics (same scheme as make_golden_model.py).
+    with torch.no_grad():
+        model.load_state_dict({
+            k: (v.half().float() if k in PARAM_KEYS else v)
+            for k, v in model.state_dict().items()
+        })
+
 model.eval()
 
 
@@ -176,10 +193,15 @@ for k, v in nb2.items():
     if isinstance(v, np.ndarray):
         out[f"batchh_{k}"] = v
 for k, v in model.state_dict().items():
-    out[f"sd::{k}"] = v.numpy()
+    a = v.numpy()
+    out[f"sd::{k}"] = (
+        a.astype(np.float16)
+        if os.environ.get("FP16_SD") and k in PARAM_KEYS
+        else a
+    )
 
 path = os.path.join(os.path.dirname(__file__), "..", "tests", "golden",
-                    "sampler_stats_trained.npz")
+                    f"{OUT_NAME}.npz")
 np.savez_compressed(path, **out)
 print(f"wrote {path} ({os.path.getsize(path)/1e6:.1f} MB)")
 for label, s in (("trained", stats), ("held-out", stats2)):
