@@ -174,6 +174,58 @@ def test_trained_sampler_held_out_complex(golden):
     check("trans_norm", trans_norm, g["h_trans_norm"])
 
 
+def test_trained_sampler_6block(golden):
+    """Trained-oracle parity at PRODUCTION depth (nb=6, the model1.pt shape;
+    VERDICT r2 'if CPU budget allows' extension of item 2). One fp32 run vs
+    the fixture's pooled statistics — the heavy bf16/int8 profile variants
+    stay on the cheaper nb=2 oracle to bound suite time. Fixture weights are
+    stored fp16 (rounded before the reference stats were sampled, so parity
+    semantics are exact — tools/make_golden_trained.py FP16_SD)."""
+    g = golden("sampler_stats_trained6")
+    nb = int(g["num_blocks"])
+    assert nb == 6
+    steps = int(g["num_steps"])
+    n = int(g["num_samples"])
+    assert float(np.mean(g["aar"])) > 0.3, "fixture not trained enough"
+
+    sd = {k[4:]: np.asarray(g[k], dtype=np.float32)
+          for k in g.files if k.startswith("sd::")}
+    params = convert_state_dict(sd, num_blocks=nb, seq_tfmr_num_layers=2)
+    model = FlowModel(FlowModelConfig(ipa=IPAConfig(num_blocks=nb)))
+    batch = {k[6:]: jnp.asarray(g[k]) for k in g.files if k.startswith("batch_")}
+
+    out = sampling.euler_sample(
+        model, params, batch, jax.random.PRNGKey(41), num_steps=steps,
+    )
+    gen = np.asarray(batch["generate_mask"]).astype(bool)
+    trans = np.asarray(out["trans"])
+    trans_1 = np.asarray(out["trans_1"])
+    rot = np.asarray(out["rotmats"])
+    rot_1 = np.asarray(out["rotmats_1"])
+    seqs = np.asarray(out["seqs"])
+    seqs_1 = np.asarray(out["seqs_1"])
+
+    ca_dev = np.sqrt((np.square(trans - trans_1).sum(-1) * gen).sum(-1) / gen.sum(-1))
+    rot_dev = np.sqrt((np.square(rot - rot_1).sum((-1, -2)) * gen).sum(-1) / gen.sum(-1))
+    aar = ((seqs == seqs_1) * gen).sum(-1) / gen.sum(-1)
+    trans_norm = np.sqrt((np.square(trans).sum(-1) * gen).sum(-1) / gen.sum(-1))
+
+    def check(name, ours, ref_vals):
+        ref_mean = float(np.mean(ref_vals))
+        our_mean = float(np.mean(ours))
+        sem = np.sqrt(np.var(ref_vals) / n + np.var(ours) / len(ours))
+        tol = 2.0 * float(sem) + max(0.05 * float(np.std(ref_vals)), 1e-3)
+        assert abs(our_mean - ref_mean) <= tol, (
+            f"nb=6 {name}: ours {our_mean:.4f} vs trained ref {ref_mean:.4f} "
+            f"(tol {tol:.4f}, ref std {float(np.std(ref_vals)):.4f})"
+        )
+
+    check("ca_dev", ca_dev, g["ca_dev"])
+    check("rot_dev", rot_dev, g["rot_dev"])
+    check("aar", aar, g["aar"])
+    check("trans_norm", trans_norm, g["trans_norm"])
+
+
 def test_trained_sampler_int8_profile(golden):
     """The int8 serving profile (quant_int8: EdgeTransition pair GEMMs on the
     int8 MXU) must land inside the trained oracle's envelope — the quality
