@@ -394,6 +394,9 @@ def a100_estimate(sampler_flops_per_batch: float | None,
         out["aten_ops_per_step"] = ops_per_step
         out["launch_term_pps"] = round(BATCH / launch_s, 2)
         t = max(t, launch_s)
+        # sensitivity: the realistic mid-range per-op figure (BASELINE.md)
+        launch_8us = NUM_STEPS * ops_per_step * 8e-6
+        out["estimate_pps_8us_per_op"] = round(BATCH / max(flop_s, launch_8us), 2)
     out["estimate_pps"] = round(BATCH / t, 2)
     return out
 
@@ -413,6 +416,9 @@ def main():
         "baseline_value": round(ref, 3) if ref else None,
         "vs_a100_estimate": (round(ours["pps"] / a100["estimate_pps"], 2)
                              if a100 else None),
+        "vs_a100_estimate_8us": (
+            round(ours["pps"] / a100["estimate_pps_8us_per_op"], 2)
+            if a100 and "estimate_pps_8us_per_op" in a100 else None),
         "a100_estimate": a100,
         "sampling_pps": ours["sampling_pps"],
         "train_samples_per_sec": ours["train_samples_per_sec"],
