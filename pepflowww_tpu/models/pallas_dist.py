@@ -124,7 +124,9 @@ def fused_distance_embed(
     if k_i is None:
         # Tile sweep on v5e at flagship dims: 512 rows -> 0.88 ms,
         # 1024 -> 0.79, 2048 -> 0.77 per fwd call (bwd 1.76/1.61/1.42).
-        k_i = pick_row_tile(L)
+        # Wider pair channels scale the row budget down (the 4x-width
+        # scaling probe's F=256 backward overflowed scoped vmem at 2048).
+        k_i = pick_row_tile(L, budget_rows=max(256, 2048 * 64 // max(F, 64)))
     grid = (B, L // k_i)
 
     kernel = functools.partial(_kernel, k_i=k_i, L=L, V=V)
@@ -283,7 +285,8 @@ def distance_embed_bwd(pos_nm, mask_atoms, aa_pair, pair_mask, table,
     xr, xt, sr, st, mr, mt = _precompute_expansions(pos_nm, mask_atoms)
 
     if k_i is None:
-        k_i = pick_row_tile(L)
+        # see fused_distance_embed: row budget scales down with F
+        k_i = pick_row_tile(L, budget_rows=max(256, 2048 * 64 // max(F, 64)))
     grid = (B, L // k_i)
 
     kernel = functools.partial(_bwd_kernel, k_i=k_i, L=L, V=V)
