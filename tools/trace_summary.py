@@ -76,6 +76,13 @@ def main():
         name = e["name"]
         if name.startswith(("jit_", "while")):  # enclosing regions, not ops
             continue
+        # Purely numeric-named events are whole-step/module spans on this
+        # platform (one per traced step, each covering the entire step) —
+        # counting them double-counts every constituent op. Seen in the
+        # round-3 train traces as ops "2", "5", "8", ... at ~1 step of
+        # duration each.
+        if re.fullmatch(r"\d+", name):
+            continue
         cat = categorize(name)
         cat_us[cat] += e["dur"]
         cat_n[cat] += 1
