@@ -57,10 +57,18 @@ class BatchScheduler:
     """Cross-request batching: concurrent /sample requests whose complexes
     fall in the same (length-bucket, num_steps) group are padded to the bucket
     and run as one device call — the TPU sees B≈max_batch regardless of how
-    clients chop their requests."""
+    clients chop their requests.
 
-    def __init__(self, run_group, max_batch: int = 64, max_wait_ms: float = 25.0):
+    Execution is `inflight`-deep (default 2): while one group's results are
+    being post-processed on the host (full-atom reconstruction, PDB strings,
+    metrics — ~1-2 s at B=64), the next group's device call is already
+    dispatched, so the accelerator never idles behind host work under
+    sustained load. Device calls themselves serialize on the chip's queue."""
+
+    def __init__(self, run_group, max_batch: int = 64, max_wait_ms: float = 25.0,
+                 inflight: int = 2):
         import collections
+        import concurrent.futures
         import threading as th
 
         self.run_group = run_group
@@ -68,6 +76,8 @@ class BatchScheduler:
         self.max_wait = max_wait_ms / 1000.0
         self.cv = th.Condition()
         self.pending = collections.defaultdict(list)  # group_key -> [entry]
+        self._pool = concurrent.futures.ThreadPoolExecutor(
+            max_workers=max(1, inflight))
         th.Thread(target=self._worker, daemon=True).start()
 
     def submit(self, group_key, rows, context):
@@ -108,20 +118,25 @@ class BatchScheduler:
                     continue
                 batch_entries.append(e)
                 count += len(e["rows"])
-            try:
-                all_rows = [r for e in batch_entries for r in e["rows"]]
-                results = self.run_group(group_key, all_rows,
-                                         [e["context"] for e in batch_entries])
-                offset = 0
-                for e in batch_entries:
-                    n = len(e["rows"])
-                    e["result"] = results[offset : offset + n]
-                    offset += n
-                    e["event"].set()
-            except Exception as err:  # noqa: BLE001 — propagate per request
-                for e in batch_entries:
-                    e["error"] = err
-                    e["event"].set()
+            # hand off to the inflight pool so the NEXT group can dispatch
+            # while this one post-processes on the host
+            self._pool.submit(self._execute, group_key, batch_entries)
+
+    def _execute(self, group_key, batch_entries):
+        try:
+            all_rows = [r for e in batch_entries for r in e["rows"]]
+            results = self.run_group(group_key, all_rows,
+                                     [e["context"] for e in batch_entries])
+            offset = 0
+            for e in batch_entries:
+                n = len(e["rows"])
+                e["result"] = results[offset : offset + n]
+                offset += n
+                e["event"].set()
+        except Exception as err:  # noqa: BLE001 — propagate per request
+            for e in batch_entries:
+                e["error"] = err
+                e["event"].set()
 
 
 def _build_item(req: dict):
