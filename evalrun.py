@@ -120,19 +120,36 @@ def main():
 
     rows = []
     tool_status: dict = {t: "ok" for t in tools}
+    tool_errors: dict = {t: 0 for t in tools}
+    consecutive_fails: dict = {t: 0 for t in tools}
+    MAX_CONSECUTIVE_FAILS = 5
 
     def guarded(tool, fn, *a, **kw):
-        """Run one wrapper; an unavailable/failed tool downgrades to None
-        once and is skipped for the rest of the sweep."""
+        """Run one wrapper. ToolUnavailable hard-disables the tool for the
+        sweep (the binary isn't there — retrying can't help). Any other
+        failure is per-sample: recorded, counted, and the tool keeps running
+        for subsequent samples — one malformed PDB must not silently drop a
+        metric column for every remaining sample (ADVICE r3). Only
+        MAX_CONSECUTIVE_FAILS failures in a row downgrade to disabled (the
+        tool is systematically broken, not tripping on one input)."""
         if tool_status.get(tool, "skipped") != "ok":
             return None
         try:
-            return fn(*a, **kw)
+            out = fn(*a, **kw)
+            consecutive_fails[tool] = 0
+            return out
         except E.ToolUnavailable as e:
             tool_status[tool] = f"unavailable: {e}"
             return None
         except Exception as e:  # noqa: BLE001 — record, keep sweeping
-            tool_status[tool] = f"failed: {e.__class__.__name__}: {e}"
+            tool_errors[tool] += 1
+            consecutive_fails[tool] += 1
+            print(f"[evalrun] {tool} failed on one sample "
+                  f"({e.__class__.__name__}: {e}); continuing")
+            if consecutive_fails[tool] >= MAX_CONSECUTIVE_FAILS:
+                tool_status[tool] = (
+                    f"disabled after {MAX_CONSECUTIVE_FAILS} consecutive "
+                    f"failures (last: {e.__class__.__name__}: {e})")
             return None
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -194,6 +211,7 @@ def main():
     metric_rows = [r for r in rows if len(r) > 2]
     summary = {
         "tools": tool_status,
+        "tool_error_counts": {t: n for t, n in tool_errors.items() if n},
         "num_rows": len(rows),
     }
     if metric_rows and any("ca_rmsd_aligned" in r or "ca_rmsd" in r

@@ -180,7 +180,17 @@ class EdgeEmbedder(nn.Module):
         dk1, db1, dk2, db2 = _DistMLPParams(self.feat_dim, A * A,
                                             name="distance_embed")()
 
-        if self.use_pallas and not self.is_initializing():
+        use_pallas = self.use_pallas and not self.is_initializing()
+        if use_pallas:
+            # No Mosaic-legal tile within the VMEM budget at this (L, width)
+            # -> XLA graph for this shape (ADVICE r3: the old fallback could
+            # silently exceed the scoped-vmem budget at wide-F x large-L).
+            from pepflowww_tpu.models.pallas_common import dist_row_tile, warn_no_tile
+
+            if dist_row_tile(L, self.feat_dim) is None:
+                warn_no_tile("fused_distance_embed", L, self.feat_dim)
+                use_pallas = False
+        if use_pallas:
             from pepflowww_tpu.models.pallas_dist import fused_distance_embed_vjp
 
             pm = (pair_structure_mask if pair_structure_mask is not None

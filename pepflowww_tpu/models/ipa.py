@@ -135,7 +135,16 @@ class EdgeTransition(nn.Module):
         )
         B, L, _ = node_bias.shape
 
-        if self.use_pallas and not self.is_initializing():
+        use_pallas = self.use_pallas and not self.is_initializing()
+        if use_pallas:
+            # Shapes with no Mosaic-legal row tile inside the VMEM budget
+            # (wide CZ x large L, ADVICE r3) take the XLA graph instead.
+            from pepflowww_tpu.models.pallas_common import edge_row_tile, warn_no_tile
+
+            if edge_row_tile(L, c_edge) is None:
+                warn_no_tile("fused_edge_transition", L, c_edge)
+                use_pallas = False
+        if use_pallas:
             mask = node_mask if node_mask is not None else jnp.ones((B, L))
             p = {"k1": k1, "b1": b1, "k2": k2, "b2": b2, "k3": k3, "b3": b3,
                  "ln_scale": ln_scale, "ln_bias": ln_bias}

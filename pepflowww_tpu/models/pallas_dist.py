@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
-from pepflowww_tpu.models.pallas_common import pick_row_tile, resolve_interpret
+from pepflowww_tpu.models.pallas_common import dist_row_tile, resolve_interpret
 
 A = 15          # heavy atoms per residue
 AA2 = A * A     # 225 atom pairs
@@ -126,7 +126,12 @@ def fused_distance_embed(
         # 1024 -> 0.79, 2048 -> 0.77 per fwd call (bwd 1.76/1.61/1.42).
         # Wider pair channels scale the row budget down (the 4x-width
         # scaling probe's F=256 backward overflowed scoped vmem at 2048).
-        k_i = pick_row_tile(L, budget_rows=max(256, 2048 * 64 // max(F, 64)))
+        k_i = dist_row_tile(L, F)
+    if k_i is None:
+        raise ValueError(
+            f"no Mosaic-legal row tile within the VMEM budget at L={L} "
+            f"F={F}; callers must pre-check pallas_common.dist_row_tile "
+            "and use the XLA path")
     grid = (B, L // k_i)
 
     kernel = functools.partial(_kernel, k_i=k_i, L=L, V=V)
@@ -286,7 +291,12 @@ def distance_embed_bwd(pos_nm, mask_atoms, aa_pair, pair_mask, table,
 
     if k_i is None:
         # see fused_distance_embed: row budget scales down with F
-        k_i = pick_row_tile(L, budget_rows=max(256, 2048 * 64 // max(F, 64)))
+        k_i = dist_row_tile(L, F)
+    if k_i is None:
+        raise ValueError(
+            f"no Mosaic-legal row tile within the VMEM budget at L={L} "
+            f"F={F}; callers must pre-check pallas_common.dist_row_tile "
+            "and use the XLA path")
     grid = (B, L // k_i)
 
     kernel = functools.partial(_bwd_kernel, k_i=k_i, L=L, V=V)

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from pepflowww_tpu.models.pallas_common import pick_row_tile, resolve_interpret
+from pepflowww_tpu.models.pallas_common import edge_row_tile, resolve_interpret
 
 
 def _quant_rows(x, limit=127.0):
@@ -200,7 +200,12 @@ def fused_edge_transition(
         # within ±3% end-to-end, with 2048 best. Wider models scale the row
         # budget down (the 2x-width probe's CZ=128 backward overflowed the
         # 16 MB scoped-vmem limit at 2048 rows).
-        k_i = pick_row_tile(L, budget_rows=max(256, 2048 * 64 // CZ))
+        k_i = edge_row_tile(L, CZ)
+    if k_i is None:
+        raise ValueError(
+            f"no Mosaic-legal row tile within the VMEM budget at L={L} "
+            f"CZ={CZ}; callers must pre-check pallas_common.edge_row_tile "
+            "and use the XLA path")
     assert L % k_i == 0, (L, k_i)
     grid = (B, L // k_i)
     tile_p = k_i * L

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from pepflowww_tpu.models import pallas_edge
-from pepflowww_tpu.models.pallas_common import pick_row_tile, resolve_interpret
+from pepflowww_tpu.models.pallas_common import edge_row_tile, resolve_interpret
 
 
 def _bwd_kernel(edge_ref, node_ref, mask_ref, g_ref,
@@ -163,7 +163,12 @@ def edge_transition_bwd(edge, node_bias, node_mask, params, g,
         # 512 rows -> 2.06 ms, 1024 -> 1.73, 2048 -> 1.67 per call; 2048 still
         # fits the 16 MB scoped-vmem limit with the bf16 GEMM-input interior
         # at CZ=64 — wider models scale the row budget down proportionally.
-        k_i = pick_row_tile(L, budget_rows=max(256, 2048 * 64 // CZ))
+        k_i = edge_row_tile(L, CZ)
+    if k_i is None:
+        raise ValueError(
+            f"no Mosaic-legal row tile within the VMEM budget at L={L} "
+            f"CZ={CZ}; callers must pre-check pallas_common.edge_row_tile "
+            "and use the XLA path")
     grid = (B, L // k_i)
     tile_p = k_i * L
 

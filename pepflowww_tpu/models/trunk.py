@@ -57,6 +57,16 @@ class IPAConfig:
     # int8 MXU saving). Opt-in for future chips/dims only.
     quant_int8: bool = False
 
+    def __post_init__(self):
+        if self.quant_int8 and not self.use_pallas:
+            # The int8 branch lives inside the fused Pallas kernel; without
+            # use_pallas it would silently run the plain XLA path and the
+            # oracle-gated int8 quality claim wouldn't cover what actually
+            # ran (ADVICE r3).
+            raise ValueError(
+                "IPAConfig(quant_int8=True) requires use_pallas=True — the "
+                "int8 pair GEMMs exist only in the fused EdgeTransition kernel")
+
     @property
     def compute_dtype(self):
         return jnp.bfloat16 if self.dtype in ("bfloat16", "bf16") else None

@@ -275,11 +275,10 @@ def make_dp_sampler(model: FlowModel, mesh, num_steps: int = 100,
             sample_ang=sample_ang, sample_seq=sample_seq,
         )
 
-    def jitted(params, batch, key):
-        step = jax.jit(
-            fn,
-            in_shardings=(replicated, {k: sharded for k in batch}, replicated),
-        )
-        return step(params, batch, key)
-
-    return jitted
+    # ONE jit wrapper per factory call (VERDICT r3 item 5 — the old form
+    # built a fresh `jax.jit` inside every invocation, giving each call its
+    # own trace cache). `sharded` applies to the whole batch dict as a pytree
+    # prefix, so the wrapper works for any batch key set; repeat calls at the
+    # same shapes hit the compiled executable (tests/test_model.py pins the
+    # trace count).
+    return jax.jit(fn, in_shardings=(replicated, sharded, replicated))

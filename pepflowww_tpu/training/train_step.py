@@ -77,15 +77,11 @@ def make_dp_train_step(model, tx, loss_weights: dict, mesh):
         metrics["grad_norm"] = grad_norm
         return params, opt_state, metrics
 
-    def batch_shardings(batch):
-        return {k: data_sharded for k in batch}
-
-    def jitted(params, opt_state, batch, rng):
-        step = jax.jit(
-            train_step,
-            in_shardings=(replicated, replicated, batch_shardings(batch), replicated),
-            out_shardings=(replicated, replicated, replicated),
-        )
-        return step(params, opt_state, batch, rng)
-
-    return jitted
+    # ONE jit wrapper per factory call (same fix as sampling.make_dp_sampler,
+    # VERDICT r3 item 5): `data_sharded` applies to the whole batch dict as a
+    # pytree prefix, so no per-call wrapper construction is needed.
+    return jax.jit(
+        train_step,
+        in_shardings=(replicated, replicated, data_sharded, replicated),
+        out_shardings=(replicated, replicated, replicated),
+    )

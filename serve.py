@@ -384,7 +384,11 @@ def main():
         from pepflowww_tpu.data.synthetic import make_complex
 
         n_dev = S.mesh.devices.size if S.mesh is not None else 1
-        warm_n = max(8, n_dev)
+        # Same padding arithmetic as _run_group (pow2, then round up to a
+        # device multiple): on a non-power-of-two chip count a bare
+        # max(8, n_dev) would shard unevenly and cache a sampler key no real
+        # request can ever hit (ADVICE r3).
+        warm_n = ((8 + n_dev - 1) // n_dev) * n_dev
         for bucket in (int(b) for b in args.warmup.split(",")):
             item = make_complex(rng, pep_len=8, rec_len=max(bucket - 24, 8))
             wb = device_batch(pad_and_collate(replicate_item(item, warm_n),

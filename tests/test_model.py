@@ -160,6 +160,41 @@ def test_dp_sampler_matches_single_device(setup):
                                   np.asarray(single["seqs"]))
 
 
+def test_quant_int8_requires_pallas():
+    """IPAConfig(quant_int8=True) without use_pallas would silently run the
+    plain XLA path (the int8 branch lives inside the fused kernel), so the
+    config must refuse it outright (ADVICE r3)."""
+    with pytest.raises(ValueError, match="use_pallas"):
+        IPAConfig(quant_int8=True)
+    IPAConfig(quant_int8=True, use_pallas=True)  # valid pairing
+
+
+def test_dp_sampler_single_trace_per_shape(setup):
+    """The DP sampler factory returns ONE jit wrapper (VERDICT r3 item 5:
+    the old per-call `jax.jit` re-wrap gave every invocation a fresh trace
+    cache). Two calls at the same shapes must hit one compiled executable;
+    a second shape adds exactly one more cache entry."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    from pepflowww_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+
+    model, params, batch = setup
+    mesh = make_mesh(2)
+    dp = sampling.make_dp_sampler(model, mesh, num_steps=2)
+    p = replicate(params, mesh)
+    b = shard_batch(batch, mesh)
+    dp(p, b, jax.random.PRNGKey(0))
+    dp(p, b, jax.random.PRNGKey(1))  # same shapes, different key/values
+    assert dp._cache_size() == 1, "same-shape call retraced the DP sampler"
+    # a second bucket (longer L) traces exactly once more
+    batch2 = device_batch(make_batch(np.random.default_rng(3), batch_size=4,
+                                     pep_len=5, rec_len=11, pad_to=24))
+    b2 = shard_batch({k: jnp.asarray(v) for k, v in batch2.items()}, mesh)
+    dp(p, b2, jax.random.PRNGKey(2))
+    dp(p, b2, jax.random.PRNGKey(3))
+    assert dp._cache_size() == 2
+
+
 def test_sidechain_packing_mode(setup):
     """sample_bb=False, sample_seq=False: backbone and sequence stay native;
     only torsions are generated (learn_sc configuration)."""

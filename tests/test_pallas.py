@@ -79,11 +79,60 @@ def test_row_tile_mosaic_legal_at_every_bucket():
 
     for L in tuple(DEFAULT_BUCKETS) + (16, 24, 320, 512):
         k = pick_row_tile(L)
+        if k is None:
+            # no legal tile within the hard VMEM budget (only far beyond the
+            # serving buckets) — callers fall back to the XLA path
+            assert L >= 512, L
+            continue
         assert L % k == 0, (L, k)
         assert k % 8 == 0 or k == L, (L, k)
         # and the tile still respects the ~2048-row VMEM budget when possible
         if any(L % d == 0 and d % 8 == 0 for d in range(1, max(1, 2048 // L) + 1)):
             assert k * L <= 2048 * 8, (L, k)
+
+
+def test_row_tile_hard_budget(setup):
+    """ADVICE r3 (medium): the fallback tile must not silently exceed the
+    width-scaled VMEM row budget. Shapes whose smallest Mosaic-legal tile
+    overflows HARD_BUDGET_FACTOR x budget get None — and EdgeTransition
+    then routes that shape through the XLA graph instead of the kernel."""
+    from pepflowww_tpu.models.pallas_common import (
+        HARD_BUDGET_FACTOR, dist_row_tile, edge_row_tile)
+
+    # flagship shapes unchanged
+    assert edge_row_tile(64, 64) == 32
+    assert edge_row_tile(160, 64) == 8
+    # wide pair channel: the L=160 fallback tile (1280 rows) stays inside
+    # 1.5x the 1024-row budget...
+    assert edge_row_tile(160, 128) == 8
+    # ...but L=256 at CZ=128 would need a 2048-row tile — the exact size
+    # measured to overflow the 16 MB scoped-vmem limit (PERF.md round-3
+    # scaling probe) — so there is no legal tile.
+    assert edge_row_tile(256, 128) is None
+    assert dist_row_tile(256, 256) is None
+    # every non-None result respects the hard cap by construction
+    for L in (16, 64, 96, 128, 160, 256, 320):
+        for W in (64, 128, 256):
+            k = edge_row_tile(L, W)
+            if k is not None:
+                assert k * L <= HARD_BUDGET_FACTOR * max(256, 2048 * 64 // W)
+
+    # module-level fallback: use_pallas=True at a no-tile shape silently
+    # takes the XLA path (identical results, no kernel ValueError)
+    module, params, _, _, _ = setup
+    rng = np.random.default_rng(5)
+    B, L, c_s, c_z = 1, 256, 128, 128
+    node = jnp.asarray(rng.normal(size=(B, L, c_s)).astype(np.float32))
+    edge = jnp.asarray(rng.normal(size=(B, L, L, c_z)).astype(np.float32))
+    mask = jnp.ones((B, L), jnp.float32)
+    wide = EdgeTransition(node_embed_size=c_s, edge_embed_in=c_z,
+                          edge_embed_out=c_z)
+    wide_params = wide.init(jax.random.PRNGKey(2), node, edge)["params"]
+    ref = wide.apply({"params": wide_params}, node, edge, node_mask=mask)
+    fused = EdgeTransition(node_embed_size=c_s, edge_embed_in=c_z,
+                           edge_embed_out=c_z, use_pallas=True)
+    out = fused.apply({"params": wide_params}, node, edge, node_mask=mask)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
 def test_fused_int8_close_to_fp32(setup):
