@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from pepflowww_tpu.models.layers import INITIALIZERS, Linear
-from pepflowww_tpu.ops import frames
+from pepflowww_tpu.ops import rot9
 
 Dtype = Any
 
@@ -236,11 +236,21 @@ class InvariantPointAttention(nn.Module):
         Args:
             s: (B, L, c_s) single repr
             z: (B, L, L, c_z) pair repr
-            R, t: (B, L, 3, 3) / (B, L, 3) backbone frames
+            R, t: backbone frames — either (B, L, 3, 3) / (B, L, 3) arrays or
+                plane-form tuples (rot9.to9 / rot9.t_to3). The trunk passes
+                planes (TPU tile layouts for (…, 3, 3) tensors waste ~28x the
+                HBM bytes; see ops/rot9.py); array inputs are kept for API
+                compatibility and converted here.
             mask: (B, L)
         Returns:
             (B, L, c_s) update
         """
+        if isinstance(R, (tuple, list)):
+            r9 = tuple(R)
+            t3 = tuple(t) if isinstance(t, (tuple, list)) else rot9.t_to3(t)
+        else:
+            r9 = rot9.to9(R.astype(jnp.float32))
+            t3 = rot9.t_to3(t.astype(jnp.float32))
         B, L, _ = s.shape
         H, C = self.no_heads, self.c_hidden
         Pq, Pv = self.no_qk_points, self.no_v_points
@@ -283,9 +293,10 @@ class InvariantPointAttention(nn.Module):
             # when diffing the branches row-by-row (ADVICE r2).
             maskb = (self.inf * (mask.astype(jnp.float32) - 1.0))[:, None, :]
             sw = jnp.sqrt(head_weights).reshape(1, H)
+            R_mat = rot9.from9(r9)
             o, o_pt_xyz, o_pt_norm, o_pair = fused_ipa2_vjp(
                 q_flat, kv_flat, qp5, kvp5,
-                R.astype(jnp.float32).reshape(B, L, 9), t.astype(jnp.float32),
+                R_mat.astype(jnp.float32).reshape(B, L, 9), rot9.t_from3(t3),
                 jnp.transpose(b, (0, 3, 1, 2)), pair_z, maskb, sw, self.eps,
             )
             o_feats = jnp.concatenate([o, o_pt_xyz, o_pt_norm, o_pair], axis=-1)
@@ -295,32 +306,53 @@ class InvariantPointAttention(nn.Module):
             k, v = kv[..., :C], kv[..., C:]
             q = q_flat.reshape(B, L, H, C)
 
-            # Point q/k/v in the global frame — fp32 geometry. The reference
-            # packs points as [x | y | z] blocks (ipa_pytorch.py:362-366).
-            def to_points(x, P):
-                x = x.astype(jnp.float32).reshape(B, L, 3, H * P)
-                x = jnp.swapaxes(x, -1, -2)  # (B, L, H*P, 3)
-                return frames.local_to_global(R, t, x).reshape(B, L, H, P, 3)
+            # Point q/k/v in the global frame — fp32 geometry, coordinate-
+            # major slab form. The reference packs point projections as
+            # [x | y | z] blocks (ipa_pytorch.py:362-366), which is exactly
+            # the layout rot9.rotate_points consumes: the rotation becomes
+            # nine full-lane (B, L, H·P) multiplies instead of einsums over
+            # trailing-3 tensors whose T(4,128) tiles waste ~28x HBM traffic
+            # (the round-2 "trailing-3 copies" finding, fixed structurally).
+            P = Pq + Pv
+            gqx, gqy, gqz = rot9.rotate_points(r9, t3, qp_flat.astype(jnp.float32))
+            gkx, gky, gkz = rot9.rotate_points(r9, t3, kv_pts_flat.astype(jnp.float32))
+            kx = gkx.reshape(B, L, H, P)
+            ky = gky.reshape(B, L, H, P)
+            kz = gkz.reshape(B, L, H, P)
 
-            q_pts = to_points(qp_flat, Pq)
-            kv_pts = kv_pts_flat.astype(jnp.float32).reshape(B, L, 3, H * (Pq + Pv))
-            kv_pts = jnp.swapaxes(kv_pts, -1, -2)
-            kv_pts = frames.local_to_global(R, t, kv_pts).reshape(B, L, H, Pq + Pv, 3)
-            k_pts, v_pts = kv_pts[..., :Pq, :], kv_pts[..., Pq:, :]
+            # Head-major (d, p)-minor dot operands: the point-attention
+            # contractions run as real (B, H)-batched MXU dots over 3P lanes
+            # instead of VPU multiply-reduce over (B, L, H, P, 3) (measured
+            # ~4x on the qk term at flagship dims).
+            q3p = jnp.concatenate(
+                [gqx.reshape(B, L, H, Pq), gqy.reshape(B, L, H, Pq),
+                 gqz.reshape(B, L, H, Pq)], axis=-1)          # (B, L, H, 3Pq)
+            k3p = jnp.concatenate(
+                [kx[..., :Pq], ky[..., :Pq], kz[..., :Pq]], axis=-1)
+            v3p = jnp.concatenate(
+                [kx[..., Pq:], ky[..., Pq:], kz[..., Pq:]], axis=-1)  # (B,L,H,3Pv)
 
             a = jnp.einsum("bihc,bjhc->bhij", q, k,
                            preferred_element_type=jnp.float32) * math.sqrt(1.0 / (3 * C))
             a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2)).astype(jnp.float32)
 
             # Point attention: -w/2 * sum_p ||q_ip - k_jp||², via the square
-            # expansion to avoid the (B, L, L, H, P, 3) intermediate.
-            q_sq = jnp.sum(jnp.square(q_pts), axis=-1)  # (B, L, H, P)
-            k_sq = jnp.sum(jnp.square(k_pts), axis=-1)
-            qk = jnp.einsum("bihpc,bjhpc->bhij", q_pts, k_pts,
+            # expansion to avoid the (B, L, L, H, P, 3) intermediate. Point
+            # geometry must stay ~fp32 through the MXU: HIGHEST (6-pass) on
+            # the fp32 parity path; HIGH (3-pass, ~19 mantissa bits — error
+            # ~2^-18 relative vs the ~1e-2 logit accuracy the softmax needs)
+            # on the bf16 production path, where HIGHEST measured 2x the cost
+            # for no observable effect on the trained-oracle statistics.
+            pt_prec = (jax.lax.Precision.HIGHEST if dt is None
+                       else jax.lax.Precision.HIGH)
+            q_sq = jnp.sum(jnp.square(q3p), axis=-1)  # (B, L, H)
+            k_sq = jnp.sum(jnp.square(k3p), axis=-1)
+            qk = jnp.einsum("bihc,bjhc->bhij", q3p, k3p,
+                            precision=pt_prec,
                             preferred_element_type=jnp.float32)
             pt_att = (
-                jnp.sum(q_sq, axis=-1).transpose(0, 2, 1)[:, :, :, None]
-                + jnp.sum(k_sq, axis=-1).transpose(0, 2, 1)[:, :, None, :]
+                q_sq.transpose(0, 2, 1)[:, :, :, None]
+                + k_sq.transpose(0, 2, 1)[:, :, None, :]
                 - 2.0 * qk
             )
             pt_att = pt_att * head_weights[None, :, None, None] * (-0.5)
@@ -333,18 +365,29 @@ class InvariantPointAttention(nn.Module):
             # Outputs.
             o = jnp.einsum("bhij,bjhc->bihc", a_c, v,
                            preferred_element_type=jnp.float32).reshape(B, L, H * C)
-            o_pt = jnp.einsum("bhij,bjhpc->bihpc", a, v_pts)  # fp32 geometry
-            o_pt = frames.global_to_local(R, t, o_pt.reshape(B, L, H * Pv, 3))
-            o_pt_norm = jnp.sqrt(jnp.sum(jnp.square(o_pt), axis=-1) + self.eps)
+            o3p = jnp.einsum("bhij,bjhc->bihc", a, v3p,
+                             precision=pt_prec,
+                             preferred_element_type=jnp.float32)  # fp32 geometry
+            ox = o3p[..., :Pv].reshape(B, L, H * Pv)
+            oy = o3p[..., Pv:2 * Pv].reshape(B, L, H * Pv)
+            oz = o3p[..., 2 * Pv:].reshape(B, L, H * Pv)
+            lx, ly, lz = rot9.unrotate_points(r9, t3, ox, oy, oz)
+            o_pt_norm = jnp.sqrt(lx * lx + ly * ly + lz * lz + self.eps)
 
             o_pair = jnp.einsum("bhij,bijd->bihd", a_c, pair_z,
                                 preferred_element_type=jnp.float32).reshape(B, L, -1)
 
         # Concat layout matches the reference (ipa_pytorch.py:475): scalar out,
-        # then the x/y/z coordinate blocks of o_pt, point norms, pair readout.
-        o_pt_xyz = jnp.swapaxes(o_pt, -1, -2).reshape(B, L, 3 * H * Pv)
+        # then the x/y/z coordinate blocks of o_pt (d-major — exactly the
+        # lx/ly/lz slabs), point norms (h, p), pair readout. On the bf16 path
+        # the pieces are cast BEFORE the concat — linear_out would cast its
+        # input anyway (same rounding), and the fp32 concat of the 1536-wide
+        # feature tensor measured 0.16 ms/step.
+        cat_dt = jnp.float32 if dt is None else dt
         o_feats = jnp.concatenate(
-            [o.astype(jnp.float32), o_pt_xyz, o_pt_norm, o_pair.astype(jnp.float32)],
+            [o.astype(cat_dt), lx.astype(cat_dt), ly.astype(cat_dt),
+             lz.astype(cat_dt), o_pt_norm.astype(cat_dt),
+             o_pair.astype(cat_dt)],
             axis=-1,
         )
         return Linear(self.c_s, init="final", name="linear_out", dtype=dt)(o_feats)

@@ -23,7 +23,7 @@ from pepflowww_tpu.models.ipa import (
     StructureModuleTransition,
     TorchTransformerEncoder,
 )
-from pepflowww_tpu.ops import frames
+from pepflowww_tpu.ops import rot9
 
 
 @dataclasses.dataclass(frozen=True)
@@ -100,7 +100,16 @@ class GAEncoder(nn.Module):
         ).astype(jnp.float32)
         node_embed = node_embed * node_mask[..., None]
 
-        R, tr = rotmats_t, trans_t
+        # Frames run in plane form through the block stack (ops/rot9.py): a
+        # (B, L, 3, 3) tensor's T(4,128) tiles waste ~28x HBM traffic on every
+        # frame op of every block. Array inputs (the training/API path) are
+        # converted once here; the sampler passes planes straight through and
+        # gets planes back (rot_is_planes), so the 100-step scan never
+        # materializes a (B, L, 3, 3) rotation.
+        rot_is_planes = isinstance(rotmats_t, (tuple, list))
+        R = tuple(rotmats_t) if rot_is_planes else rot9.to9(rotmats_t.astype(jnp.float32))
+        tr = (tuple(trans_t) if isinstance(trans_t, (tuple, list))
+              else rot9.t_to3(trans_t.astype(jnp.float32)))
         for b in range(cfg.num_blocks):
             ipa_embed = InvariantPointAttention(
                 cfg.c_s, cfg.c_z, cfg.c_hidden, cfg.no_heads,
@@ -117,7 +126,7 @@ class GAEncoder(nn.Module):
             node_embed = StructureModuleTransition(cfg.c_s, dtype=cdt, name=f"node_transition_{b}")(node_embed)
             node_embed = node_embed * node_mask[..., None]
             update = BackboneUpdate(cfg.c_s, name=f"bb_update_{b}")(node_embed * node_mask[..., None])
-            R, tr = frames.compose_q_update(R, tr, update, update_mask=node_mask)
+            R, tr = rot9.compose_q_update(R, tr, update, update_mask=node_mask)
 
             if b < cfg.num_blocks - 1:
                 edge_embed = EdgeTransition(
@@ -127,8 +136,12 @@ class GAEncoder(nn.Module):
                     name=f"edge_transition_{b}",
                 )(node_embed, edge_embed, node_mask=node_mask)
 
-        pred_trans1 = tr
-        pred_rotmats1 = R
+        # Rotations come back in the caller's form (planes stay planes so the
+        # sampler's scan never builds a (B, L, 3, 3) tensor); translations are
+        # always re-stacked to (B, L, 3) — they are small and every consumer
+        # (Euler update, losses) is vector-shaped.
+        pred_rotmats1 = R if rot_is_planes else rot9.from9(R)
+        pred_trans1 = rot9.t_from3(tr)
         pred_seqs1_prob = MLP((cfg.c_s, cfg.c_s, 20), name="seq_net")(node_embed)
         pred_angles1 = MLP((cfg.c_s, cfg.c_s, 5), name="angle_net")(node_embed)
         pred_angles1 = jnp.mod(pred_angles1, 2 * math.pi)  # bound to [0, 2π)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from pepflowww_tpu.models.flow import FlowModel
-from pepflowww_tpu.ops import allatom, simplex, so3, torus
+from pepflowww_tpu.ops import allatom, rot9, simplex, so3, torus
 
 
 def _impose_context(pred, truth, mask):
@@ -56,7 +56,6 @@ def euler_sample(
 
     gen_mask = batch["generate_mask"]
     gm1 = gen_mask[..., None]
-    gm2 = gen_mask[..., None, None]
     res_mask = batch["res_mask"]
 
     # Encode once; features are reused across all steps (flow_model.py:239).
@@ -66,19 +65,24 @@ def euler_sample(
     trans_1_c = trans_1
     seqs_1_simplex = simplex.seq_to_simplex(seqs_1, k, K)
 
+    # Rotations run the whole ODE in plane form (ops/rot9.py) — the scan
+    # carry, the denoiser frames and the geodesic update never materialize a
+    # (B, L, 3, 3) tensor (whose TPU tile layout wastes ~28x HBM traffic);
+    # matrices only at the encode/output boundaries.
+    r9_1 = rot9.to9(rotmats_1.astype(jnp.float32))
+
     key, k_rot, k_trans, k_ang, k_seq, k_seqtok = jax.random.split(key, 6)
 
     # Initial noise (flow_model.py:251-277).
     if sample_bb:
-        rotmats_0 = so3.uniform_so3(k_rot, (B, L))
-        rotmats_0 = jnp.where(gm2, rotmats_0, rotmats_1)
+        r9_0 = rot9.where(gen_mask, rot9.to9(so3.uniform_so3(k_rot, (B, L))), r9_1)
         trans_0 = jax.random.normal(k_trans, (B, L, 3))
         trans_0_c, _ = FlowModel.zero_center_part(
             trans_0, gen_mask.astype(jnp.float32), res_mask.astype(jnp.float32)
         )
         trans_0_c = jnp.where(gm1, trans_0_c, trans_1_c)
     else:
-        rotmats_0, trans_0_c = rotmats_1, trans_1_c
+        r9_0, trans_0_c = r9_1, trans_1_c
     if sample_ang:
         angles_0 = torus.random_uniform(k_ang, angles_1.shape, dtype=angles_1.dtype)
         angles_0 = jnp.where(gm1, angles_0, angles_1)
@@ -103,9 +107,10 @@ def euler_sample(
         )
 
     def predict_clean(t_scalar, rot, tr, ang, seq, key):
-        """Predict x̂₁ and re-impose context (flow_model.py:290-303)."""
+        """Predict x̂₁ and re-impose context (flow_model.py:290-303).
+        `rot` and the returned prediction are plane-form (9-tuples)."""
         pred_rot, pred_tr, pred_ang, pred_seq_logits = denoise(t_scalar, rot, tr, ang, seq)
-        pred_rot = _impose_context(pred_rot, rotmats_1, gm2)
+        pred_rot = rot9.where(gen_mask, pred_rot, r9_1)
         pred_tr = _impose_context(pred_tr, trans_1_c, gm1)
         pred_ang = _impose_context(pred_ang, angles_1, gm1)
         pred_seq = simplex.sample_from(key, jax.nn.softmax(pred_seq_logits, axis=-1))
@@ -114,7 +119,7 @@ def euler_sample(
         tor_mask = allatom.torsions_mask_for(pred_seq) > 0.5
         pred_ang = jnp.where(tor_mask, pred_ang, 0.0)
         if not sample_bb:
-            pred_tr, pred_rot = trans_1_c, rotmats_1
+            pred_tr, pred_rot = trans_1_c, r9_1
         if not sample_ang:
             pred_ang = angles_1
         if not sample_seq:
@@ -134,8 +139,8 @@ def euler_sample(
         # Euler updates (flow_model.py:316-333).
         trans_t_2 = tr + (pred_tr - trans_0_c) * d_t
         trans_t_2 = _impose_context(trans_t_2, trans_1_c, gm1)
-        rot_t_2 = so3.geodesic_t(d_t * icfg.rots_exp_rate, pred_rot, rot)
-        rot_t_2 = _impose_context(rot_t_2, rotmats_1, gm2)
+        rot_t_2 = rot9.geodesic_t(d_t * icfg.rots_exp_rate, pred_rot, rot)
+        rot_t_2 = rot9.where(gen_mask, rot_t_2, r9_1)
         ang_t_2 = torus.geodesic_t(d_t, pred_ang, ang)
         ang_t_2 = _impose_context(ang_t_2, angles_1, gm1)
         seq_simplex_t_2 = seq_simplex + (pred_seq_simplex - seqs_0_simplex) * d_t
@@ -145,7 +150,7 @@ def euler_sample(
         ang_t_2 = jnp.where(tor_mask, ang_t_2, 0.0)
 
         if not sample_bb:
-            trans_t_2, rot_t_2 = trans_1_c, rotmats_1
+            trans_t_2, rot_t_2 = trans_1_c, r9_1
         if not sample_ang:
             ang_t_2 = angles_1
         if not sample_seq:
@@ -153,14 +158,15 @@ def euler_sample(
 
         new_carry = (rot_t_2, trans_t_2, ang_t_2, seq_t_2, seq_simplex_t_2, key)
         out = (
-            {"rotmats": pred_rot, "trans": pred_tr, "angles": pred_ang,
-             "seqs": pred_seq, "seqs_simplex": pred_seq_simplex}
+            {"rotmats": rot9.from9(pred_rot), "trans": pred_tr,
+             "angles": pred_ang, "seqs": pred_seq,
+             "seqs_simplex": pred_seq_simplex}
             if return_traj
             else None
         )
         return new_carry, out
 
-    carry0 = (rotmats_0, trans_0_c, angles_0, seqs_0, seqs_0_simplex, key)
+    carry0 = (r9_0, trans_0_c, angles_0, seqs_0, seqs_0_simplex, key)
     t_pairs = jnp.stack([ts[:-1], ts[1:]], axis=-1)
     carry, traj = jax.lax.scan(step, carry0, t_pairs)
     rot, tr, ang, seq, seq_simplex, key = carry
@@ -172,7 +178,7 @@ def euler_sample(
     )
 
     out = {
-        "rotmats": pred_rot,
+        "rotmats": rot9.from9(pred_rot),
         "trans": pred_tr,
         "angles": pred_ang,
         "seqs": pred_seq,
