@@ -95,10 +95,11 @@ class FlowModel(nn.Module):
 
     # ------------------------------------------------------------------
     def denoise(self, t, rotmats_t, trans_t, angles_t, seqs_t, node_embed,
-                edge_embed, generate_mask, res_mask):
+                edge_embed, generate_mask, res_mask, fused_pair_readout=False):
         return self.ga_encoder(
             t, rotmats_t, trans_t, angles_t, seqs_t, node_embed, edge_embed,
             generate_mask.astype(jnp.int32), res_mask.astype(jnp.int32),
+            fused_pair_readout=fused_pair_readout,
         )
 
     # ------------------------------------------------------------------

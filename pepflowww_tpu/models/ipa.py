@@ -39,6 +39,14 @@ from pepflowww_tpu.ops import rot9
 Dtype = Any
 
 
+def _dense(x, kernel, bias, dt):
+    """nn.Dense-equivalent on raw kernel/bias arrays (same dot_general and
+    dtype-promotion semantics as Linear(dtype=dt))."""
+    if dt is not None:
+        x, kernel, bias = x.astype(dt), kernel.astype(dt), bias.astype(dt)
+    return jnp.einsum("...f,fk->...k", x, kernel) + bias
+
+
 class StructureModuleTransition(nn.Module):
     c: int
     dtype: Optional[Dtype] = None
@@ -112,11 +120,20 @@ class EdgeTransition(nn.Module):
     quant_int8: bool = False  # serving-only int8 pair GEMMs (forward kernel)
 
     @nn.compact
-    def __call__(self, node_embed, edge_embed, node_mask=None):
+    def __call__(self, node_embed, edge_embed, node_mask=None,
+                 fused_readout=None):
         """node_mask: (B, L); the pair mask is its outer product. Taking the
         node-level mask (not a materialized (B, L, L) one) lets the fused
         kernel form it in VMEM — an HBM pair mask's unit lane dim tile-pads
-        128x on TPU (measured 0.19 ms/step of pure reshape at B=L=64)."""
+        128x on TPU (measured 0.19 ms/step of pure reshape at B=L=64).
+
+        fused_readout: optional (kb, bb, kdz, bdz) — the NEXT block's
+        linear_b / down_z weights. When given, this layer also returns the
+        pair-resident readouts (b as (B, H, L, L), pair_z as (B, c_z/4, L,
+        L)) computed from the output while it is still in VMEM (Pallas path)
+        or via plain GEMMs (fallback), and the return value becomes
+        ``(out, (b, pair_z))``. Forward-only — the sampler sets this; the
+        training path must not (no VJP through the fused kernel)."""
         assert self.num_layers == 2
         c_bias = self.node_embed_size // self.node_dilation
         c_edge = self.edge_embed_in
@@ -148,17 +165,23 @@ class EdgeTransition(nn.Module):
             mask = node_mask if node_mask is not None else jnp.ones((B, L))
             p = {"k1": k1, "b1": b1, "k2": k2, "b2": b2, "k3": k3, "b3": b3,
                  "ln_scale": ln_scale, "ln_bias": ln_bias}
-            if self.quant_int8:
-                # int8 serving profile: forward-only kernel (no VJP — the
-                # sampler never differentiates; training configs must not
-                # set quant_int8).
+            kdtype = cdt if self.dtype is not None else jnp.float32
+            if self.quant_int8 or fused_readout is not None:
+                # Forward-only kernel (no VJP): the int8 serving profile
+                # and/or the pair-resident readout epilogue. The sampler
+                # never differentiates; training configs must not reach here.
                 from pepflowww_tpu.models.pallas_edge import fused_edge_transition
 
-                return fused_edge_transition(
+                res = fused_edge_transition(
                     edge_embed, node_bias, mask, p,
-                    dtype=cdt if self.dtype is not None else jnp.float32,
-                    quant_int8=True,
+                    dtype=kdtype,
+                    quant_int8=self.quant_int8,
+                    readout=fused_readout,
                 )
+                if fused_readout is not None:
+                    out, bro, pzo = res
+                    return out, (bro, pzo)
+                return res
             from pepflowww_tpu.models.pallas_edge_bwd import fused_edge_transition_vjp
 
             out = fused_edge_transition_vjp(
@@ -198,7 +221,15 @@ class EdgeTransition(nn.Module):
         # Keep the inter-block L² pair tensor in compute precision: it is the
         # biggest recurring HBM load (read by linear_b/down_z and the next
         # EdgeTransition every block); the LN statistics above stay fp32.
-        return out.astype(self.dtype) if self.dtype is not None else out
+        out = out.astype(self.dtype) if self.dtype is not None else out
+        if fused_readout is not None:
+            # Kernel-less fallback (no Mosaic-legal tile / use_pallas off):
+            # same readout contract, plain GEMMs + transposes.
+            kb, bb, kdz, bdz = fused_readout
+            bro = jnp.transpose(_dense(out, kb, bb, self.dtype), (0, 3, 1, 2))
+            pzo = jnp.transpose(_dense(out, kdz, bdz, self.dtype), (0, 3, 1, 2))
+            return out, (bro, pzo)
+        return out
 
 
 class BackboneUpdate(nn.Module):
@@ -231,7 +262,8 @@ class InvariantPointAttention(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, s, z, R, t, mask):
+    def __call__(self, s, z=None, R=None, t=None, mask=None, readouts=None,
+                 readout_params_only=False):
         """
         Args:
             s: (B, L, c_s) single repr
@@ -242,9 +274,36 @@ class InvariantPointAttention(nn.Module):
                 HBM bytes; see ops/rot9.py); array inputs are kept for API
                 compatibility and converted here.
             mask: (B, L)
+            readouts: optional pre-computed (b, pair_z) in transposed form —
+                b (B, H, L, L), pair_z (B, c_z/4, L, L) — from the previous
+                EdgeTransition's pair-resident readout epilogue. When given,
+                this layer skips its own GEMMs over z.
+            readout_params_only: create/return the raw (kb, bb, kdz, bdz)
+                linear_b / down_z weights and do nothing else — the trunk
+                hands these to the PREVIOUS block's EdgeTransition kernel.
         Returns:
             (B, L, c_s) update
         """
+        H, C = self.no_heads, self.c_hidden
+        Pq, Pv = self.no_qk_points, self.no_v_points
+        dt = self.dtype
+
+        # The pair readouts and the output projection hold their parameters
+        # raw (tree-identical to Linear/Dense_0 — convert.py depends on the
+        # names) so the production path can merge/split the GEMMs around them
+        # without touching the checkpoint format.
+        dz4 = self.c_z // 4
+        # Input width follows the ACTUAL pair tensor (like nn.Dense shape
+        # inference did): the first block's z is the embedder output whose
+        # width (edge_embed_size) may differ from c_z. The params-only path
+        # (blocks >= 1, whose z always comes from an EdgeTransition) is
+        # c_z-wide by construction.
+        zw = z.shape[-1] if z is not None else self.c_z
+        kb, bb_ = _NamedDenseParams(H, zw, "default", name="linear_b")()
+        kdz, bdz = _NamedDenseParams(dz4, zw, "default", name="down_z")()
+        if readout_params_only:
+            return kb, bb_, kdz, bdz
+
         if isinstance(R, (tuple, list)):
             r9 = tuple(R)
             t3 = tuple(t) if isinstance(t, (tuple, list)) else rot9.t_to3(t)
@@ -252,17 +311,15 @@ class InvariantPointAttention(nn.Module):
             r9 = rot9.to9(R.astype(jnp.float32))
             t3 = rot9.t_to3(t.astype(jnp.float32))
         B, L, _ = s.shape
-        H, C = self.no_heads, self.c_hidden
-        Pq, Pv = self.no_qk_points, self.no_v_points
-        dt = self.dtype
 
         q_flat = Linear(H * C, name="linear_q", dtype=dt)(s)
         kv_flat = Linear(2 * H * C, name="linear_kv", dtype=dt)(s)
         qp_flat = Linear(H * Pq * 3, name="linear_q_points", dtype=dt)(s)
         kv_pts_flat = Linear(H * (Pq + Pv) * 3, name="linear_kv_points", dtype=dt)(s)
 
-        # Scalar attention + pair bias (fp32 accumulation).
-        b = Linear(H, name="linear_b", dtype=dt)(z)  # (B, L, L, H)
+        cat_w = H * C + 4 * H * Pv + H * dz4
+        kout, bout = _NamedDenseParams(self.c_s, cat_w, "final", name="linear_out")()
+
         head_weights = jax.nn.softplus(
             self.param(
                 "head_weights",
@@ -270,7 +327,22 @@ class InvariantPointAttention(nn.Module):
                 (H,),
             )
         ) * math.sqrt(1.0 / (3 * (Pq * 9.0 / 2)))
-        pair_z = Linear(self.c_z // 4, name="down_z", dtype=dt)(z)
+
+        # Pair-tensor readouts: b (attention bias, H lanes) and pair_z (the
+        # c_z/4 value readout). Separate GEMMs on purpose: a merged 24-lane
+        # GEMM + lane slices measured NET NEGATIVE (+0.5 ms/step of layout
+        # copies on the slices and an extra async copy of z itself — PERF.md
+        # round-4 "output-path fusion A/B"). `b_t`/`pz_t` hold the transposed
+        # forms the consumers want; the kernel epilogue supplies them
+        # directly, the self-computed path transposes lazily at use.
+        if readouts is not None:
+            b_t, pz_t = readouts            # (B, H, L, L), (B, dz4, L, L)
+            b = pair_z = None
+        else:
+            b = _dense(z, kb, bb_, dt)      # (B, L, L, H)
+            pair_z = _dense(z, kdz, bdz, dt)
+            b_t = jnp.transpose(b, (0, 3, 1, 2))
+            pz_t = None
 
         if self.use_pallas and not self.is_initializing():
             # Fully fused interior (pallas_ipa2.py): frame transforms, logits,
@@ -297,10 +369,12 @@ class InvariantPointAttention(nn.Module):
             o, o_pt_xyz, o_pt_norm, o_pair = fused_ipa2_vjp(
                 q_flat, kv_flat, qp5, kvp5,
                 R_mat.astype(jnp.float32).reshape(B, L, 9), rot9.t_from3(t3),
-                jnp.transpose(b, (0, 3, 1, 2)), pair_z, maskb, sw, self.eps,
+                b_t, pair_z if pair_z is not None
+                else jnp.transpose(pz_t, (0, 2, 3, 1)),
+                maskb, sw, self.eps,
             )
             o_feats = jnp.concatenate([o, o_pt_xyz, o_pt_norm, o_pair], axis=-1)
-            return Linear(self.c_s, init="final", name="linear_out", dtype=dt)(o_feats)
+            return _dense(o_feats, kout, bout, dt)
         else:
             kv = kv_flat.reshape(B, L, H, 2 * C)
             k, v = kv[..., :C], kv[..., C:]
@@ -334,7 +408,7 @@ class InvariantPointAttention(nn.Module):
 
             a = jnp.einsum("bihc,bjhc->bhij", q, k,
                            preferred_element_type=jnp.float32) * math.sqrt(1.0 / (3 * C))
-            a = a + math.sqrt(1.0 / 3) * jnp.transpose(b, (0, 3, 1, 2)).astype(jnp.float32)
+            a = a + math.sqrt(1.0 / 3) * b_t.astype(jnp.float32)
 
             # Point attention: -w/2 * sum_p ||q_ip - k_jp||², via the square
             # expansion to avoid the (B, L, L, H, P, 3) intermediate. Point
@@ -360,9 +434,72 @@ class InvariantPointAttention(nn.Module):
             square_mask = self.inf * (mask[:, :, None] * mask[:, None, :] - 1.0)
             a = a + pt_att + square_mask[:, None, :, :]
             a = jax.nn.softmax(a, axis=-1)
-            a_c = a.astype(dt) if dt is not None else a
 
-            # Outputs.
+            if dt is not None:
+                # Production (bf16) output path. Two structural moves vs the
+                # parity path below (PERF.md round-4 traces):
+                #  1. every output piece stays in its natural 4-D (B, L, H, ·)
+                #     dot layout — no reshape-to-flat copies;
+                #  2. linear_out is computed as a sum of per-piece GEMMs
+                #     against row slices of the SAME kernel (bit-compatible
+                #     parameters, K-dim reassociation only) — the 1536-wide
+                #     concat plus its bf16 casts measured ~0.3 ms/step.
+                # (A third move — merging the scalar/point aggregations into
+                # one dot over concatenated value lanes — measured NET
+                # NEGATIVE: XLA relayouts the 164-lane output, +0.26 ms.)
+                a_c = a.astype(dt)
+                o4 = jnp.einsum("bhij,bjhc->bihc", a_c, v,
+                                preferred_element_type=jnp.float32)
+                oo = jnp.einsum("bhij,bjhc->bihc", a, v3p,
+                                precision=pt_prec,
+                                preferred_element_type=jnp.float32)
+                dxp = oo[..., :Pv] - t3[0][..., None, None]
+                dyp = oo[..., Pv:2 * Pv] - t3[1][..., None, None]
+                dzp = oo[..., 2 * Pv:] - t3[2][..., None, None]
+                rr = [p[..., None, None] for p in r9]
+                lx4 = rr[0] * dxp + rr[3] * dyp + rr[6] * dzp
+                ly4 = rr[1] * dxp + rr[4] * dyp + rr[7] * dzp
+                lz4 = rr[2] * dxp + rr[5] * dyp + rr[8] * dzp
+                on4 = jnp.sqrt(lx4 * lx4 + ly4 * ly4 + lz4 * lz4 + self.eps)
+                if pz_t is not None:
+                    # j-contraction along the lane dim of the kernel-emitted
+                    # (B, dz4, L, L) layout — no relayout of pair_z needed.
+                    op4 = jnp.einsum("bhij,bdij->bihd", a_c, pz_t,
+                                     preferred_element_type=jnp.float32)
+                else:
+                    op4 = jnp.einsum("bhij,bijd->bihd", a_c, pair_z,
+                                     preferred_element_type=jnp.float32)
+                # Row slices follow the reference concat order
+                # (ipa_pytorch.py:475): o | o_pt x | y | z | norms | pair.
+                kd = kout.astype(dt)
+                s0 = H * C
+                s1, s2, s3, s4 = (s0 + H * Pv, s0 + 2 * H * Pv,
+                                  s0 + 3 * H * Pv, s0 + 4 * H * Pv)
+                f32 = jnp.float32
+                y = (jnp.einsum("blhc,hcf->blf", o4.astype(dt),
+                                kd[:s0].reshape(H, C, self.c_s),
+                                preferred_element_type=f32)
+                     + jnp.einsum("blhp,hpf->blf", lx4.astype(dt),
+                                  kd[s0:s1].reshape(H, Pv, self.c_s),
+                                  preferred_element_type=f32)
+                     + jnp.einsum("blhp,hpf->blf", ly4.astype(dt),
+                                  kd[s1:s2].reshape(H, Pv, self.c_s),
+                                  preferred_element_type=f32)
+                     + jnp.einsum("blhp,hpf->blf", lz4.astype(dt),
+                                  kd[s2:s3].reshape(H, Pv, self.c_s),
+                                  preferred_element_type=f32)
+                     + jnp.einsum("blhp,hpf->blf", on4.astype(dt),
+                                  kd[s3:s4].reshape(H, Pv, self.c_s),
+                                  preferred_element_type=f32)
+                     + jnp.einsum("blhd,hdf->blf", op4.astype(dt),
+                                  kd[s4:].reshape(H, dz4, self.c_s),
+                                  preferred_element_type=f32))
+                return (y + bout).astype(dt)
+
+            # fp32 parity path — structure unchanged (separate HIGHEST point
+            # aggregation from the fp32 attention matrix, reference-ordered
+            # concat, single output GEMM).
+            a_c = a
             o = jnp.einsum("bhij,bjhc->bihc", a_c, v,
                            preferred_element_type=jnp.float32).reshape(B, L, H * C)
             o3p = jnp.einsum("bhij,bjhc->bihc", a, v3p,
@@ -374,23 +511,20 @@ class InvariantPointAttention(nn.Module):
             lx, ly, lz = rot9.unrotate_points(r9, t3, ox, oy, oz)
             o_pt_norm = jnp.sqrt(lx * lx + ly * ly + lz * lz + self.eps)
 
-            o_pair = jnp.einsum("bhij,bijd->bihd", a_c, pair_z,
-                                preferred_element_type=jnp.float32).reshape(B, L, -1)
+            if pz_t is not None:
+                o_pair = jnp.einsum("bhij,bdij->bihd", a_c, pz_t,
+                                    preferred_element_type=jnp.float32)
+            else:
+                o_pair = jnp.einsum("bhij,bijd->bihd", a_c, pair_z,
+                                    preferred_element_type=jnp.float32)
+            o_pair = o_pair.reshape(B, L, -1)
 
         # Concat layout matches the reference (ipa_pytorch.py:475): scalar out,
         # then the x/y/z coordinate blocks of o_pt (d-major — exactly the
-        # lx/ly/lz slabs), point norms (h, p), pair readout. On the bf16 path
-        # the pieces are cast BEFORE the concat — linear_out would cast its
-        # input anyway (same rounding), and the fp32 concat of the 1536-wide
-        # feature tensor measured 0.16 ms/step.
-        cat_dt = jnp.float32 if dt is None else dt
+        # lx/ly/lz slabs), point norms (h, p), pair readout.
         o_feats = jnp.concatenate(
-            [o.astype(cat_dt), lx.astype(cat_dt), ly.astype(cat_dt),
-             lz.astype(cat_dt), o_pt_norm.astype(cat_dt),
-             o_pair.astype(cat_dt)],
-            axis=-1,
-        )
-        return Linear(self.c_s, init="final", name="linear_out", dtype=dt)(o_feats)
+            [o, lx, ly, lz, o_pt_norm, o_pair], axis=-1)
+        return _dense(o_feats, kout, bout, None)
 
 
 class TorchTransformerEncoderLayer(nn.Module):

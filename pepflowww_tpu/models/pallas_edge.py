@@ -50,15 +50,17 @@ def _kernel(edge_ref, node_ref, mask_ref,
             w3h_ref, w3e_ref, w3i_ref, w3j_ref, b3_ref,
             ln_scale_ref, ln_bias_ref,
             *refs, k_i: int, L: int, eps: float, quant_int8: bool,
-            int8_w3: bool = True):
+            int8_w3: bool = True, readout: bool = False):
     if quant_int8:
         # w2/w3h arrive int8 with per-output-channel scales (quantized once
         # outside; XLA hoists that out of the sampler's scan — the weights
         # are loop-invariant).
         if int8_w3:
-            w2s_ref, w3hs_ref, out_ref = refs
+            w2s_ref, w3hs_ref, *refs = refs
         else:
-            w2s_ref, out_ref = refs
+            w2s_ref, *refs = refs
+    if readout:
+        kb_ref, bb_ref, kdz_ref, bdz_ref, out_ref, b_out_ref, pz_out_ref = refs
     else:
         (out_ref,) = refs
     f32 = jnp.float32
@@ -121,6 +123,31 @@ def _kernel(edge_ref, node_ref, mask_ref,
     o = o.reshape(k_i, L, -1) * pair[:, :, None]
     out_ref[0] = o.astype(out_ref.dtype)                # (K_I, L, CZ) block
 
+    if readout:
+        # Pair-resident readout of the NEXT block's linear_b / down_z while
+        # the output tile is still in VMEM — the two IPA pair GEMMs otherwise
+        # re-read the whole (B, L, L, CZ) tensor from HBM (2x 33 MB/block at
+        # flagship dims). Emitted pre-transposed — b as (H, i, j), pair_z as
+        # (dz4, i, j) — which is the orientation their consumers (the logit
+        # bias add and the j-contracting o_pair dot) want, and which keeps
+        # the lane dim at L instead of tile-padding an 8/16-wide one 16x.
+        # The dot_general contracts the weight's input axis against the
+        # tile's feature axis so the transposed result needs no VPU shuffle.
+        # Emitted as (·, K_I·L) flat-lane tiles — splitting the lane dim
+        # in-kernel is a Mosaic-illegal shape cast; the caller bitcast-
+        # reshapes (B, ·, L²) -> (B, ·, L, L) for free in XLA.
+        ob = o.reshape(k_i * L, -1).astype(out_ref.dtype)
+        bt = jax.lax.dot_general(
+            kb_ref[:], ob, (((0,), (1,)), ((), ())),
+            preferred_element_type=f32)                 # (H_ipa, K_I*L)
+        bt = bt + bb_ref[:].astype(f32).reshape(-1, 1)
+        b_out_ref[0] = bt.astype(b_out_ref.dtype)
+        pzt = jax.lax.dot_general(
+            kdz_ref[:], ob, (((0,), (1,)), ((), ())),
+            preferred_element_type=f32)                 # (dz4, K_I*L)
+        pzt = pzt + bdz_ref[:].astype(f32).reshape(-1, 1)
+        pz_out_ref[0] = pzt.astype(pz_out_ref.dtype)
+
 
 def _quant_cols(w):
     """Symmetric per-output-channel int8 quantization of a (K, N) weight."""
@@ -142,6 +169,7 @@ def fused_edge_transition(
     quant_int8: bool = False,
     int8_w3: bool = True,
     interpret: bool | None = None,
+    readout: Optional[tuple] = None,
 ) -> jax.Array:
     """Apply the fused kernel; numerically equivalent to the XLA EdgeTransition
     (post node-bias Linear) at compute precision `dtype`.
@@ -216,7 +244,8 @@ def fused_edge_transition(
     node_bias = node_bias.astype(dtype)
 
     kernel = functools.partial(_kernel, k_i=k_i, L=L, eps=eps,
-                               quant_int8=quant_int8, int8_w3=int8_w3)
+                               quant_int8=quant_int8, int8_w3=int8_w3,
+                               readout=readout is not None)
 
     full = lambda *idx: (0, 0)
     in_specs = [
@@ -242,15 +271,40 @@ def fused_edge_transition(
         if int8_w3:
             in_specs += [pl.BlockSpec((1, CZ), full)]
             operands += [w3hs]
+
+    # 4-D output blocks: emitting (B, L², CZ) + reshape made XLA assign a
+    # batch-minor layout to the custom-call result at B=128 (B exactly
+    # fills a lane tile) and copy the full pair tensor 5x/step.
+    out_specs = [pl.BlockSpec((1, k_i, L, CZ), lambda b, p: (b, p, 0, 0))]
+    out_shape = [jax.ShapeDtypeStruct((B, L, L, CZ), dtype)]
+    if readout is not None:
+        kb, bb, kdz, bdz = readout
+        H_ipa, DZ = kb.shape[1], kdz.shape[1]
+        in_specs += [
+            pl.BlockSpec((CZ, H_ipa), full), pl.BlockSpec((1, H_ipa), full),
+            pl.BlockSpec((CZ, DZ), full), pl.BlockSpec((1, DZ), full),
+        ]
+        operands += [kb.astype(dtype), bb.reshape(1, -1),
+                     kdz.astype(dtype), bdz.reshape(1, -1)]
+        out_specs += [
+            pl.BlockSpec((1, H_ipa, tile_p), lambda b, p: (b, 0, p)),
+            pl.BlockSpec((1, DZ, tile_p), lambda b, p: (b, 0, p)),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((B, H_ipa, L * L), dtype),
+            jax.ShapeDtypeStruct((B, DZ, L * L), dtype),
+        ]
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        # 4-D output blocks: emitting (B, L², CZ) + reshape made XLA assign a
-        # batch-minor layout to the custom-call result at B=128 (B exactly
-        # fills a lane tile) and copy the full pair tensor 5x/step.
-        out_specs=pl.BlockSpec((1, k_i, L, CZ), lambda b, p: (b, p, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, L, L, CZ), dtype),
+        out_specs=out_specs if readout is not None else out_specs[0],
+        out_shape=out_shape if readout is not None else out_shape[0],
         interpret=interpret,
     )(*operands)
+    if readout is not None:
+        z_out, bflat, pzflat = out
+        return (z_out,
+                bflat.reshape(B, -1, L, L),    # row-major split: free bitcast
+                pzflat.reshape(B, -1, L, L))
     return out

@@ -79,7 +79,13 @@ class GAEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, t, rotmats_t, trans_t, angles_t, seqs_t, node_embed,
-                 edge_embed, generate_mask, res_mask):
+                 edge_embed, generate_mask, res_mask,
+                 fused_pair_readout=False):
+        """fused_pair_readout: sampler-only. Each EdgeTransition kernel also
+        emits the NEXT block's linear_b/down_z readouts from its VMEM-resident
+        output tile (pallas_edge.py), skipping two full HBM re-reads of the
+        (B, L, L, c_z) pair tensor per block. Forward-only (no VJP) — the
+        training path must leave it False."""
         cfg = self.cfg
         B, L = seqs_t.shape
 
@@ -110,12 +116,18 @@ class GAEncoder(nn.Module):
         R = tuple(rotmats_t) if rot_is_planes else rot9.to9(rotmats_t.astype(jnp.float32))
         tr = (tuple(trans_t) if isinstance(trans_t, (tuple, list))
               else rot9.t_to3(trans_t.astype(jnp.float32)))
-        for b in range(cfg.num_blocks):
-            ipa_embed = InvariantPointAttention(
+        ipas = [
+            InvariantPointAttention(
                 cfg.c_s, cfg.c_z, cfg.c_hidden, cfg.no_heads,
                 cfg.no_qk_points, cfg.no_v_points, dtype=cdt,
                 use_pallas=cfg.use_pallas_ipa, name=f"ipa_{b}",
-            )(node_embed, edge_embed, R, tr, node_mask)
+            )
+            for b in range(cfg.num_blocks)
+        ]
+        readouts = None
+        for b in range(cfg.num_blocks):
+            ipa_embed = ipas[b](node_embed, edge_embed, R, tr, node_mask,
+                                readouts=readouts)
             ipa_embed = ipa_embed * node_mask[..., None]
             node_embed = nn.LayerNorm(epsilon=1e-5, name=f"ipa_ln_{b}")(node_embed + ipa_embed)
             seq_tfmr_out = TorchTransformerEncoder(
@@ -129,12 +141,19 @@ class GAEncoder(nn.Module):
             R, tr = rot9.compose_q_update(R, tr, update, update_mask=node_mask)
 
             if b < cfg.num_blocks - 1:
-                edge_embed = EdgeTransition(
+                et = EdgeTransition(
                     node_embed_size=cfg.c_s, edge_embed_in=cfg.c_z,
                     edge_embed_out=cfg.c_z, dtype=cdt,
                     use_pallas=cfg.use_pallas, quant_int8=cfg.quant_int8,
                     name=f"edge_transition_{b}",
-                )(node_embed, edge_embed, node_mask=node_mask)
+                )
+                if fused_pair_readout:
+                    ro_w = ipas[b + 1](None, readout_params_only=True)
+                    edge_embed, readouts = et(
+                        node_embed, edge_embed, node_mask=node_mask,
+                        fused_readout=ro_w)
+                else:
+                    edge_embed = et(node_embed, edge_embed, node_mask=node_mask)
 
         # Rotations come back in the caller's form (planes stay planes so the
         # sampler's scan never builds a (B, L, 3, 3) tensor); translations are

@@ -99,11 +99,17 @@ def euler_sample(
 
     ts = jnp.linspace(1e-2, 1.0, num_steps)
 
+    # Pair-resident readout (trunk.py GAEncoder docstring): only meaningful
+    # with the Pallas edge kernels; the fp32/XLA profile keeps the committed
+    # parity graph.
+    fused_ro = bool(getattr(model.cfg.ipa, "use_pallas", False))
+
     def denoise(t_scalar, rot, tr, ang, seq):
         t = jnp.full((B, 1), t_scalar)
         return model.apply(
             {"params": params}, t, rot, tr, ang, seq, node_embed, edge_embed,
             gen_mask, res_mask, method="denoise",
+            fused_pair_readout=fused_ro,
         )
 
     def predict_clean(t_scalar, rot, tr, ang, seq, key):

@@ -281,3 +281,29 @@ def test_sampler_microbatching(setup):
     tr = np.asarray(out_traj["traj"]["trans"])
     np.testing.assert_allclose(tr[:, 0][:, ~gen0], tr[:, 4][:, ~gen0],
                                atol=1e-5)
+
+
+def test_fused_pair_readout_matches(setup):
+    """denoise(fused_pair_readout=True) — the sampler's pair-resident
+    readout graph (trunk.py GAEncoder) — must match the plain graph. With
+    use_pallas off the readout flows through EdgeTransition's GEMM fallback;
+    the Pallas epilogue itself is pinned by
+    test_pallas.py::test_fused_readout_matches_xla and exercised end-to-end
+    by the bf16+pallas sampler-parity profiles."""
+    model, params, batch = setup
+    from pepflowww_tpu.ops import rot9
+
+    rot1, tr1, ang1, seq1, ne, ee = model.apply(
+        {"params": params}, batch, method="encode")
+    r9 = rot9.to9(rot1.astype(jnp.float32))
+    t = jnp.full((batch["aa"].shape[0], 1), 0.5)
+    args = (t, r9, tr1, ang1, seq1, ne, ee,
+            batch["generate_mask"], batch["res_mask"])
+    d0 = model.apply({"params": params}, *args, method="denoise",
+                     fused_pair_readout=False)
+    d1 = model.apply({"params": params}, *args, method="denoise",
+                     fused_pair_readout=True)
+    np.testing.assert_allclose(np.asarray(d1[1]), np.asarray(d0[1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(rot9.from9(d1[0])),
+                               np.asarray(rot9.from9(d0[0])), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(d1[3]), np.asarray(d0[3]), atol=1e-5)

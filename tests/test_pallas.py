@@ -519,3 +519,31 @@ def test_ipa_module_pallas_matches_xla():
         np.testing.assert_allclose(np.asarray(vp) / scale,
                                    np.asarray(vx) / scale, atol=5e-3,
                                    err_msg=jax.tree_util.keystr(kx))
+
+
+def test_fused_readout_matches_xla(setup):
+    """Pair-resident readout epilogue (pallas_edge.py `readout=`): the
+    kernel-emitted next-block linear_b / down_z must equal GEMMs over the
+    kernel's own z output (transposed to the consumer layouts)."""
+    module, params, node, edge, node_mask = setup
+    rng = np.random.default_rng(3)
+    cz = edge.shape[-1]
+    kb = jnp.asarray(rng.normal(size=(cz, 8)).astype(np.float32)) * 0.1
+    bb = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    kdz = jnp.asarray(rng.normal(size=(cz, 16)).astype(np.float32)) * 0.1
+    bdz = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+
+    nb = _node_bias(params, node)
+    p = _kernel_params(params)
+    out0 = fused_edge_transition(edge, nb, node_mask, p, dtype=jnp.float32,
+                                 interpret=True)
+    out1, bt, pzt = fused_edge_transition(
+        edge, nb, node_mask, p, dtype=jnp.float32, interpret=True,
+        readout=(kb, bb, kdz, bdz))
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1))
+    b_ref = np.transpose(np.asarray(jnp.einsum("bijc,cf->bijf", out0, kb) + bb),
+                         (0, 3, 1, 2))
+    pz_ref = np.transpose(np.asarray(jnp.einsum("bijc,cf->bijf", out0, kdz) + bdz),
+                          (0, 3, 1, 2))
+    np.testing.assert_allclose(np.asarray(bt), b_ref, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pzt), pz_ref, atol=2e-5)
