@@ -24,6 +24,7 @@ from pepflowww_tpu.models.ipa import (
     TorchTransformerEncoder,
 )
 from pepflowww_tpu.ops import rot9
+from pepflowww_tpu.parallel import tp
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,6 +117,10 @@ class GAEncoder(nn.Module):
         R = tuple(rotmats_t) if rot_is_planes else rot9.to9(rotmats_t.astype(jnp.float32))
         tr = (tuple(trans_t) if isinstance(trans_t, (tuple, list))
               else rot9.t_to3(trans_t.astype(jnp.float32)))
+        # Pair-row TP (parallel/tp.py): outside a tp_shard scope these are
+        # identity; inside, every (B, I, J, c) tensor shards its query rows
+        # on the model mesh axis and GSPMD keeps all L² compute local.
+        edge_embed = tp.pair_constraint(edge_embed)
         ipas = [
             InvariantPointAttention(
                 cfg.c_s, cfg.c_z, cfg.c_hidden, cfg.no_heads,
@@ -154,6 +159,7 @@ class GAEncoder(nn.Module):
                         fused_readout=ro_w)
                 else:
                     edge_embed = et(node_embed, edge_embed, node_mask=node_mask)
+                edge_embed = tp.pair_constraint(edge_embed)
 
         # Rotations come back in the caller's form (planes stay planes so the
         # sampler's scan never builds a (B, L, 3, 3) tensor); translations are

@@ -85,3 +85,51 @@ def make_dp_train_step(model, tx, loss_weights: dict, mesh):
         in_shardings=(replicated, replicated, data_sharded, replicated),
         out_shardings=(replicated, replicated, replicated),
     )
+
+
+def make_tp_train_step(model, tx, loss_weights: dict, mesh):
+    """Tensor+data-parallel step over a 2-D ``(data, model)`` mesh
+    (parallel/tp.py): batch shards on "data", the trunk's L² pair tensors
+    shard their query rows on "model" (the `tp.pair_constraint` hooks in
+    GAEncoder), params/opt state replicate. GSPMD keeps every pair op local
+    and inserts only node-level collectives; this is the axis that lets
+    widths whose pair activations exceed one chip's HBM train at all —
+    the reference's DDP (train_ddp.py:94) has no equivalent.
+
+    Equivalence to the replicated path is pinned by tests/test_tp.py.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pepflowww_tpu.parallel import tp
+
+    replicated = NamedSharding(mesh, P())
+    data_sharded = NamedSharding(mesh, P("data"))
+
+    loss_fn = make_loss_fn(model, loss_weights)
+
+    def train_step(params, opt_state, batch, rng):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng
+        )
+        grads = zero_nans(grads)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = grad_norm
+        return params, opt_state, metrics
+
+    jitted = jax.jit(
+        train_step,
+        in_shardings=(replicated, replicated, data_sharded, replicated),
+        out_shardings=(replicated, replicated, replicated),
+    )
+
+    def stepper(params, opt_state, batch, rng):
+        # tp_shard only matters while TRACING (the constraints bake into the
+        # jaxpr); entering it per call keeps the single jit wrapper.
+        with tp.tp_shard(mesh):
+            return jitted(params, opt_state, batch, rng)
+
+    return stepper
