@@ -31,6 +31,10 @@ def main():
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--debug", action="store_true")
     ap.add_argument("--dp", action="store_true", help="data-parallel over all devices")
+    ap.add_argument("--fsdp", action="store_true",
+                    help="data-parallel with params+optimizer state sharded "
+                         "over the data axis (ZeRO-3 memory footprint; "
+                         "parallel/fsdp.py). Implies the data mesh.")
     ap.add_argument("--synthetic", action="store_true", help="train on synthetic data")
     ap.add_argument("--structure_dir", type=str, default=None)
     ap.add_argument("--dataset_dir", type=str, default=None)
@@ -234,7 +238,19 @@ def main():
         # a plain (unsharded) jit step cannot consume multi-process arrays
         logger.info("--multihost implies --dp; enabling the data mesh")
         args.dp = True
-    if args.dp:
+    if args.fsdp:
+        # ZeRO-3-style state sharding (parallel/fsdp.py): same numerics as
+        # --dp (tests/test_fsdp.py), 1/N params+grads+Adam moments per chip.
+        # Single-process only: prepare() builds global arrays by device_put,
+        # which needs all mesh devices addressable.
+        if args.multihost:
+            raise SystemExit("--fsdp is single-process; use --dp --multihost")
+        from pepflowww_tpu.parallel.fsdp import make_fsdp_train_step
+
+        mesh = make_mesh()
+        step_fn, fsdp_prepare = make_fsdp_train_step(model, tx, loss_weights, mesh)
+        params, opt_state = fsdp_prepare(params, opt_state)
+    elif args.dp:
         from pepflowww_tpu.parallel.mesh import replicate
 
         mesh = make_mesh()
