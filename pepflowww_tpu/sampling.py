@@ -294,3 +294,43 @@ def make_dp_sampler(model: FlowModel, mesh, num_steps: int = 100,
     # same shapes hit the compiled executable (tests/test_model.py pins the
     # trace count).
     return jax.jit(fn, in_shardings=(replicated, sharded, replicated))
+
+
+def make_tp_sampler(model: FlowModel, mesh, num_steps: int = 100,
+                    sample_bb: bool = True, sample_ang: bool = True,
+                    sample_seq: bool = True):
+    """Tensor+data-parallel sampler over a 2-D ``(data, model)`` mesh.
+
+    The serving-side analogue of ``make_tp_train_step``: the batch shards on
+    "data" and the trunk's L² pair tensors shard their query rows on "model"
+    (``tp.pair_constraint`` hooks in GAEncoder), so widths/lengths whose
+    (B, L, L, c_z) pair activations exceed one chip's HBM can still serve.
+    All pair compute stays local; GSPMD only all-gathers node-level tensors
+    at block boundaries. The reference has no serving parallelism at all
+    (its sampler is a single-GPU loop, flow_model.py:229-374).
+
+    Equivalence to the single-device sampler is pinned by
+    tests/test_tp.py::test_tp_sampler_matches_single_device.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pepflowww_tpu.parallel import tp
+
+    replicated = NamedSharding(mesh, P())
+    sharded = NamedSharding(mesh, P("data"))
+
+    def fn(params, batch, key):
+        return euler_sample(
+            model, params, batch, key, num_steps=num_steps, sample_bb=sample_bb,
+            sample_ang=sample_ang, sample_seq=sample_seq,
+        )
+
+    jitted = jax.jit(fn, in_shardings=(replicated, sharded, replicated))
+
+    def sampler(params, batch, key):
+        # tp_shard only matters while TRACING (constraints bake into the
+        # jaxpr); entering it per call keeps the single jit wrapper.
+        with tp.tp_shard(mesh):
+            return jitted(params, batch, key)
+
+    return sampler

@@ -42,9 +42,22 @@ def main():
     ap.add_argument("--max_complexes", type=int, default=None)
     ap.add_argument("--dp", action="store_true",
                     help="shard sampling over all local devices")
+    ap.add_argument("--tp", type=int, default=0,
+                    help="tensor-parallel factor: shard the L² pair tensors "
+                         "over this many devices on a 2-D (data, model) mesh "
+                         "(pair-row sharding, parallel/tp.py) for models/"
+                         "lengths whose pair activations exceed one chip's "
+                         "HBM; remaining devices data-parallel")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform (e.g. cpu — the axon TPU "
+                         "plugin ignores JAX_PLATFORMS, so this sets the "
+                         "config knob, same as train.py)")
     args = ap.parse_args()
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
 
     from pepflowww_tpu import metrics as M
@@ -99,7 +112,19 @@ def main():
         batch = {k: jnp.asarray(v) for k, v in device_batch(batch_np).items()}
         L = batch["aa"].shape[1]
         if L not in sampler_cache:
-            if args.dp:
+            if args.tp:
+                from pepflowww_tpu.parallel.tp import make_mesh_2d
+
+                n_dev = len(jax.devices())
+                assert n_dev % args.tp == 0, (n_dev, args.tp)
+                sampler_cache[L] = sampling.make_tp_sampler(
+                    model, make_mesh_2d(n_dev // args.tp, args.tp),
+                    num_steps=args.num_steps,
+                    sample_bb=bool(args.sample_bb),
+                    sample_ang=bool(args.sample_ang),
+                    sample_seq=bool(args.sample_seq),
+                )
+            elif args.dp:
                 from pepflowww_tpu.parallel.mesh import make_mesh
 
                 sampler_cache[L] = sampling.make_dp_sampler(

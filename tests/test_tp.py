@@ -67,3 +67,27 @@ def test_tp_pair_tensors_are_sharded():
     full = len(re.findall(r"f32\[4,16,16,\d+\]", txt))
     shard = len(re.findall(r"f32\[4,4,16,\d+\]", txt))
     assert shard > 5 * max(full, 1), (shard, full)
+
+
+def test_tp_sampler_matches_single_device():
+    """The TP sampler (serving-side pair-row sharding) must reproduce the
+    single-device ODE bit-for-bit up to fp reduction order: PRNG bits depend
+    on key+shape, not sharding, so sampled tokens must agree exactly."""
+    from pepflowww_tpu import sampling
+
+    model, params, batch = tiny()
+    key = jax.random.PRNGKey(7)
+    out1 = jax.jit(
+        lambda p, b, k: sampling.euler_sample(model, p, b, k, num_steps=4)
+    )(params, batch, key)
+
+    mesh = make_mesh_2d(2, 4)
+    pb = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    out2 = sampling.make_tp_sampler(model, mesh, num_steps=4)(
+        replicate(params, mesh), pb, key)
+
+    np.testing.assert_allclose(np.asarray(out2["trans"]),
+                               np.asarray(out1["trans"]), atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out2["rotmats"]),
+                               np.asarray(out1["rotmats"]), atol=5e-5)
+    assert (np.asarray(out2["seqs"]) == np.asarray(out1["seqs"])).all()
