@@ -58,8 +58,28 @@ def fsdp_shardings(tree, mesh: Mesh, axis: str = "data", min_size: int = 2 ** 10
 
 
 def shard_tree(tree, shardings):
-    """Place (or re-place) a pytree onto its FSDP shardings."""
+    """Place (or re-place) a pytree onto its FSDP shardings.
+
+    Multi-process: device_put cannot target non-addressable devices, so each
+    global array is assembled shard-by-shard from the full process-local
+    copy (every process holds identical values — train.py seeds init/resume
+    identically everywhere, same invariant as mesh.replicate)."""
+    if jax.process_count() > 1:
+        def one(x, s):
+            x = np.asarray(x)
+            return jax.make_array_from_callback(x.shape, s, lambda idx: x[idx])
+
+        return jax.tree.map(one, tree, shardings)
     return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)
+
+
+def gather_tree(tree, mesh: Mesh):
+    """All-gather an FSDP-sharded pytree to mesh-replicated (for host
+    fetches — e.g. the validation pass — where every process needs the full
+    values; replicated arrays are addressable on all processes)."""
+    replicated = NamedSharding(mesh, P())
+    specs = jax.tree.map(lambda _: replicated, tree)
+    return jax.jit(lambda t: t, out_shardings=specs)(tree)
 
 
 def make_fsdp_train_step(model, tx, loss_weights: dict, mesh: Mesh):

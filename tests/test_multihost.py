@@ -144,6 +144,43 @@ def test_two_process_trajectory_matches_single(structures):
                         f"vs single {single[it]}")
 
 
+def test_two_process_fsdp_trajectory(structures):
+    """--fsdp --multihost: params + Adam state sharded 1/2 across two
+    single-device processes (fsdp.shard_tree's make_array_from_callback
+    assembly) must reproduce the single-process trajectory — same psum
+    tolerance as the DP test plus Adam's fp reassociation."""
+    sdir, ddir, cfg = structures
+    iters = 3
+
+    p = _run_train(cfg, sdir, ddir, 4, iters, ["--dp"])
+    out_single, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, out_single[-3000:]
+    single = _parse_losses(out_single)
+    assert set(single) == {1, 2, 3}, out_single[-3000:]
+
+    port = 29541
+    procs = [
+        _run_train(cfg, sdir, ddir, 2, iters,
+                   ["--multihost", "--fsdp",
+                    "--coordinator_address", f"127.0.0.1:{port}",
+                    "--num_processes", "2", "--process_id", str(i)])
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), (
+        outs[0][-3000:], outs[1][-3000:])
+
+    for out in outs:
+        multi = _parse_losses(out)
+        assert set(multi) == {1, 2, 3}, out[-3000:]
+        for it in (1, 2, 3):
+            assert np.isfinite(multi[it])
+            np.testing.assert_allclose(
+                multi[it], single[it], rtol=5e-3,
+                err_msg=f"iteration {it}: fsdp multihost {multi[it]} "
+                        f"vs single {single[it]}")
+
+
 def test_multihost_collective_checkpoint(structures, tmp_path):
     """Non-debug 2-process run: ONE run dir (process 0 creates it and
     broadcasts the path), and the orbax checkpoint save is collective —

@@ -241,10 +241,11 @@ def main():
     if args.fsdp:
         # ZeRO-3-style state sharding (parallel/fsdp.py): same numerics as
         # --dp (tests/test_fsdp.py), 1/N params+grads+Adam moments per chip.
-        # Single-process only: prepare() builds global arrays by device_put,
-        # which needs all mesh devices addressable.
-        if args.multihost:
-            raise SystemExit("--fsdp is single-process; use --dp --multihost")
+        # Under --multihost, prepare() assembles the global sharded arrays
+        # from the identical per-process host copies (fsdp.shard_tree), the
+        # same invariant mesh.replicate relies on; orbax checkpoint saves
+        # stay collective over the sharded arrays
+        # (tests/test_multihost.py::test_two_process_fsdp_trajectory).
         from pepflowww_tpu.parallel.fsdp import make_fsdp_train_step
 
         mesh = make_mesh()
@@ -288,9 +289,17 @@ def main():
         # val pass runs on a host-local fp32 copy so the plain jit below
         # never mixes global and local inputs (full-split-per-host decision
         # documented at the val_loader construction above). Replicated
-        # arrays are addressable, so the fetch is a local copy.
-        vparams = (jax.tree.map(np.asarray, params)
-                   if jax.process_count() > 1 else params)
+        # arrays are addressable, so the fetch is a local copy; FSDP-sharded
+        # ones are not — gather them to replicated first.
+        if jax.process_count() > 1:
+            gparams = params
+            if args.fsdp:
+                from pepflowww_tpu.parallel.fsdp import gather_tree
+
+                gparams = gather_tree(params, mesh)
+            vparams = jax.tree.map(np.asarray, gparams)
+        else:
+            vparams = params
         for vb in val_loader:
             vb = {k: v for k, v in vb.items() if not isinstance(v, list)}
             vkey, k = jax.random.split(vkey)
