@@ -229,11 +229,16 @@ def _run_group(group_key, rows, contexts):
             # Under --dp: no microbatch chunking — the scheduler's max_batch
             # is already 64 x n_devices (the per-chip optimum, PERF.md batch
             # sweep), and the sharded inputs make the one jit program SPMD
-            # over the mesh.
-            S.samplers[skey] = sampling.make_sampler(
-                S.model, num_steps=steps,
-                microbatch=None if S.mesh is not None else 64,
-            )
+            # over the mesh. Under --tp the pair tensors additionally shard
+            # rows on the model axis (make_tp_sampler).
+            if S.mesh is not None and getattr(S.args, "tp", 0):
+                S.samplers[skey] = sampling.make_tp_sampler(
+                    S.model, S.mesh, num_steps=steps)
+            else:
+                S.samplers[skey] = sampling.make_sampler(
+                    S.model, num_steps=steps,
+                    microbatch=None if S.mesh is not None else 64,
+                )
         fn = S.samplers[skey]
         _KEY_COUNTER[0] += 1
         key = jax.random.PRNGKey(_KEY_COUNTER[0])
@@ -336,6 +341,13 @@ def main():
                          "request batches shard across a 1-D mesh (the "
                          "scheduler's merge cap scales to 64 x n_devices), "
                          "params replicate — mass-serving scale-out")
+    ap.add_argument("--tp", type=int, default=0,
+                    help="tensor-parallel factor: serve on a 2-D (data, "
+                         "model) mesh with the L² pair tensors row-sharded "
+                         "over this many devices (parallel/tp.py) — for "
+                         "model widths / pocket lengths whose pair "
+                         "activations exceed one chip's HBM; remaining "
+                         "devices stay data-parallel")
     args = ap.parse_args()
     S.args = args
 
@@ -371,7 +383,16 @@ def main():
     elif not args.synthetic_weights:
         print("[serve] WARNING: no checkpoint given; serving random weights")
 
-    if args.dp:
+    if args.tp:
+        from pepflowww_tpu.parallel.mesh import replicate
+        from pepflowww_tpu.parallel.tp import make_mesh_2d
+
+        n_dev = len(jax.devices())
+        assert n_dev % args.tp == 0, (n_dev, args.tp)
+        S.mesh = make_mesh_2d(n_dev // args.tp, args.tp)
+        S.params = replicate(S.params, S.mesh)
+        print(f"[serve] tensor-parallel ({n_dev // args.tp}x{args.tp} mesh)")
+    elif args.dp:
         from pepflowww_tpu.parallel.mesh import make_mesh, replicate
 
         S.mesh = make_mesh()
@@ -394,10 +415,13 @@ def main():
             wb = device_batch(pad_and_collate(replicate_item(item, warm_n),
                                               pad_to=bucket))
             wb = {kk: jnp.asarray(v) for kk, v in wb.items()}
-            fn = sampling.make_sampler(
-                S.model, num_steps=100,
-                microbatch=None if S.mesh is not None else 64,
-            )
+            if S.mesh is not None and args.tp:
+                fn = sampling.make_tp_sampler(S.model, S.mesh, num_steps=100)
+            else:
+                fn = sampling.make_sampler(
+                    S.model, num_steps=100,
+                    microbatch=None if S.mesh is not None else 64,
+                )
             if S.mesh is not None:
                 from pepflowww_tpu.parallel.mesh import shard_batch
 

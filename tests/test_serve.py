@@ -195,6 +195,36 @@ def test_dp_serving_over_device_mesh(tiny_server, complex_pdbs):
     assert all(np.isfinite(o["metrics"]["ca_rmsd"]).all() for o in outs)
 
 
+def test_tp_serving_over_2d_mesh(tiny_server, complex_pdbs):
+    """--tp serving path: requests run through make_tp_sampler on a 4x2
+    (data, model) mesh — pair rows sharded on the model axis. Responses must
+    be well-formed (the numerical equivalence of the TP sampler itself is
+    pinned by tests/test_tp.py)."""
+    import types
+
+    from pepflowww_tpu.parallel.mesh import replicate
+    from pepflowww_tpu.parallel.tp import make_mesh_2d
+
+    pep_pdb, pocket_pdb = complex_pdbs
+    old = (serve.S.params, serve.S.mesh, serve.S.args)
+    serve.S.mesh = make_mesh_2d(4, 2)
+    serve.S.params = replicate(serve.S.params, serve.S.mesh)
+    serve.S.args = types.SimpleNamespace(tp=2)
+    serve.S.scheduler = None
+    serve.S.samplers = {}
+    try:
+        req = {"pocket_pdb": pocket_pdb, "peptide_pdb": pep_pdb,
+               "num_samples": 3, "num_steps": 2}
+        out = _post(tiny_server, "/sample", req)
+    finally:
+        serve.S.params, serve.S.mesh, serve.S.args = old
+        serve.S.scheduler = None
+        serve.S.samplers = {}
+    assert len(out["pdbs"]) == 3
+    assert out["pdbs"][0].startswith("ATOM")
+    assert np.isfinite(out["metrics"]["ca_rmsd"]).all()
+
+
 def test_batch_scheduler_error_does_not_deadlock(tiny_server, complex_pdbs):
     """A device-call failure must propagate to ITS requests as HTTP 400 while
     concurrent requests in other groups complete — no hung events."""
