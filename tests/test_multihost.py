@@ -226,3 +226,44 @@ def test_multihost_collective_checkpoint(structures, tmp_path):
     assert "Resumed from" in out and "at iteration 3" in out, out[-3000:]
     resumed = _parse_losses(out)
     assert set(resumed) == {3} and np.isfinite(resumed[3]), out[-2000:]
+
+
+def test_multihost_fsdp_checkpoint(structures, tmp_path):
+    """2-process --fsdp checkpoint: orbax saves the 1/2-sharded params+Adam
+    state collectively (each process contributes its shards), and a
+    single-process --fsdp run resumes from it (restore lands in host arrays
+    BEFORE fsdp_prepare re-shards — train.py's restore-then-prepare order)."""
+    sdir, ddir, cfg = structures
+    port = 29545
+    logdir = str(tmp_path / "logs")
+    procs = []
+    for i in range(2):
+        cmd = [sys.executable, os.path.join(ROOT, "train.py"),
+               "--platform", "cpu", "--config", cfg,
+               "--structure_dir", sdir, "--dataset_dir", ddir,
+               "--dataset_name", "mh", "--batch_size", "2",
+               "--max_iters", "2", "--log_freq", "1", "--val_freq", "2",
+               "--logdir", logdir,
+               "--multihost", "--fsdp",
+               "--coordinator_address", f"127.0.0.1:{port}",
+               "--num_processes", "2", "--process_id", str(i)]
+        procs.append(subprocess.Popen(cmd, cwd=ROOT, stdout=subprocess.PIPE,
+                                      stderr=subprocess.STDOUT, text=True,
+                                      env=_env_one_device()))
+    outs = [p.communicate(timeout=900)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), (
+        outs[0][-3000:], outs[1][-3000:])
+
+    run_dirs = os.listdir(logdir)
+    assert len(run_dirs) == 1, run_dirs
+    ckpt_root = os.path.join(logdir, run_dirs[0], "checkpoints")
+    assert os.listdir(ckpt_root) == ["2"], (os.listdir(ckpt_root),
+                                            outs[0][-2000:])
+
+    p = _run_train(cfg, sdir, ddir, 4, 3,
+                   ["--fsdp", "--resume", os.path.join(ckpt_root, "2")])
+    out, _ = p.communicate(timeout=900)
+    assert p.returncode == 0, out[-3000:]
+    assert "Resumed from" in out and "at iteration 3" in out, out[-3000:]
+    resumed = _parse_losses(out)
+    assert set(resumed) == {3} and np.isfinite(resumed[3]), out[-2000:]
