@@ -1,0 +1,44 @@
+"""bench.py's ONE-JSON-line contract (the driver parses it every round).
+
+The heavy measurement functions are stubbed; this pins the report assembly:
+exactly one line, valid JSON, the driver-required keys present and typed.
+"""
+
+import json
+
+import bench
+
+
+def test_bench_main_emits_one_valid_json_line(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "bench_ours", lambda: {
+        "pps": 100.0,
+        "sampling_pps": {"L64_B64": 100.0, "L96_B64": 55.0, "L128_B64": 36.0},
+        "train_samples_per_sec": 1600.0,
+        "train_step_ms": 40.0,
+        "sampler_flops_per_batch": 1e12,
+        "mfu": {"train": 0.03, "sample": 0.05, "peak_tflops_assumed": 197.0},
+    })
+    monkeypatch.setattr(bench, "bench_reference_torch_cpu", lambda: 0.03)
+    monkeypatch.setattr(bench, "reference_ops_per_step", lambda: 8175)
+
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()
+    json_lines = [ln for ln in out if ln.startswith("{")]
+    assert len(json_lines) == 1, out
+    d = json.loads(json_lines[0])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in d, key
+    assert isinstance(d["value"], (int, float)) and d["value"] > 0
+    assert isinstance(d["vs_baseline"], (int, float))
+    # the north-star denominator fields the judge reads
+    assert d["vs_a100_estimate"] is not None
+    assert d["a100_estimate"]["aten_ops_per_step"] == 8175
+    assert set(d["sampling_pps"]) == {"L64_B64", "L96_B64", "L128_B64"}
+
+
+def test_a100_estimate_is_launch_bound_at_flagship_flops(monkeypatch):
+    """The estimate must take the min of the FLOP and launch terms — at
+    flagship FLOPs the launch term dominates (BASELINE.md's argument)."""
+    est = bench.a100_estimate(1.47e12, 8175)
+    assert est["estimate_pps"] == est["launch_term_pps"]
+    assert est["launch_term_pps"] < est["flop_term_pps"]
