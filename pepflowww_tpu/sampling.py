@@ -333,4 +333,5 @@ def make_tp_sampler(model: FlowModel, mesh, num_steps: int = 100,
         with tp.tp_shard(mesh):
             return jitted(params, batch, key)
 
+    sampler._cache_size = jitted._cache_size  # retrace-count regression hook
     return sampler

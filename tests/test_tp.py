@@ -91,3 +91,19 @@ def test_tp_sampler_matches_single_device():
     np.testing.assert_allclose(np.asarray(out2["rotmats"]),
                                np.asarray(out1["rotmats"]), atol=5e-5)
     assert (np.asarray(out2["seqs"]) == np.asarray(out1["seqs"])).all()
+
+
+def test_tp_sampler_single_trace_per_shape():
+    """make_tp_sampler builds ONE jit wrapper (same guarantee the DP sampler
+    test pins): repeat same-shape calls must not retrace even though the
+    tp_shard scope is re-entered per call."""
+    from pepflowww_tpu import sampling
+
+    model, params, batch = tiny()
+    mesh = make_mesh_2d(2, 4)
+    fn = sampling.make_tp_sampler(model, mesh, num_steps=2)
+    p = replicate(params, mesh)
+    pb = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    fn(p, pb, jax.random.PRNGKey(0))
+    fn(p, pb, jax.random.PRNGKey(1))
+    assert fn._cache_size() == 1, "same-shape call retraced the TP sampler"
