@@ -73,13 +73,22 @@ def shard_tree(tree, shardings):
     return jax.tree.map(lambda x, s: jax.device_put(x, s), tree, shardings)
 
 
+_GATHER_JITS: dict = {}
+
+
 def gather_tree(tree, mesh: Mesh):
     """All-gather an FSDP-sharded pytree to mesh-replicated (for host
     fetches — e.g. the validation pass — where every process needs the full
-    values; replicated arrays are addressable on all processes)."""
-    replicated = NamedSharding(mesh, P())
-    specs = jax.tree.map(lambda _: replicated, tree)
-    return jax.jit(lambda t: t, out_shardings=specs)(tree)
+    values; replicated arrays are addressable on all processes).
+
+    One jit wrapper per mesh (the replicated out_sharding applies as a
+    pytree prefix), so repeat calls — one per validation round — reuse the
+    compiled gather instead of re-wrapping (the VERDICT-r3-item-5 pattern)."""
+    fn = _GATHER_JITS.get(mesh)
+    if fn is None:
+        fn = jax.jit(lambda t: t, out_shardings=NamedSharding(mesh, P()))
+        _GATHER_JITS[mesh] = fn
+    return fn(tree)
 
 
 def make_fsdp_train_step(model, tx, loss_weights: dict, mesh: Mesh):
