@@ -24,6 +24,7 @@ from pepflowww_tpu.ops import frames
 from pepflowww_tpu.ops.dihedrals import get_backbone_dihedral_angles, pairwise_dihedrals
 from pepflowww_tpu.models.layers import (AngularEncoding, EmbedDenseGrad, MLP,
                                           _take_dense_grad)
+from pepflowww_tpu.parallel import tp
 
 
 class NodeEmbedder(nn.Module):
@@ -145,26 +146,36 @@ class EdgeEmbedder(nn.Module):
         mask_atoms = mask_atoms[:, :, :A]
 
         mask_residue = mask_atoms[:, :, C.BBHeavyAtom.CA]
-        mask_pair = mask_residue[:, :, None] * mask_residue[:, None, :]
+        # Pair-row TP (parallel/tp.py): constrain the (N, L, L) intermediates
+        # at their producers so under a `tp_shard` scope GSPMD forms ALL of
+        # the embedder's L² work row-sharded (broadcast locally from the tiny
+        # gathered (N, L) node tensors) instead of building it batch-sharded
+        # and rematerializing at the trunk's edge_embed constraint. Identity
+        # outside the scope — the DP/single-device graphs are unchanged.
+        mask_pair = tp.pair_constraint(
+            mask_residue[:, :, None] * mask_residue[:, None, :])
         pair_structure_mask = (
-            structure_mask[:, :, None] * structure_mask[:, None, :]
+            tp.pair_constraint(
+                structure_mask[:, :, None] * structure_mask[:, None, :])
             if structure_mask is not None
             else None
         )
 
         if sequence_mask is not None:
             aa = jnp.where(sequence_mask, aa, jnp.full_like(aa, C.AA.UNK))
-        aa_pair = aa[:, :, None] * self.max_aa_types + aa[:, None, :]  # (N, L, L)
+        aa_pair = tp.pair_constraint(
+            aa[:, :, None] * self.max_aa_types + aa[:, None, :])  # (N, L, L)
         feat_aapair = EmbedDenseGrad(
             self.max_aa_types**2, self.feat_dim,
             embedding_init=nn.initializers.normal(1.0), name="aa_pair_embed",
         )(aa_pair)
 
         # Relative positions, gated by same-chain.
-        same_chain = chain_nb[:, :, None] == chain_nb[:, None, :]
-        relpos = jnp.clip(
+        same_chain = tp.pair_constraint(
+            chain_nb[:, :, None] == chain_nb[:, None, :])
+        relpos = tp.pair_constraint(jnp.clip(
             res_nb[:, :, None] - res_nb[:, None, :], -self.max_relpos, self.max_relpos
-        )
+        ))
         feat_relpos = EmbedDenseGrad(
             2 * self.max_relpos + 1, self.feat_dim,
             embedding_init=nn.initializers.normal(1.0), name="relpos_embed",
@@ -226,7 +237,7 @@ class EdgeEmbedder(nn.Module):
                 feat_dist = feat_dist * pair_structure_mask[..., None]
 
         # Inter-residue phi/psi dihedrals.
-        dihed = pairwise_dihedrals(pos_atoms)  # (N, L, L, 2)
+        dihed = tp.pair_constraint(pairwise_dihedrals(pos_atoms))  # (N, L, L, 2)
         feat_dihed = AngularEncoding(name="dihedral_embed")(dihed)
         if pair_structure_mask is not None:
             feat_dihed = feat_dihed * pair_structure_mask[..., None]
