@@ -105,7 +105,13 @@ def make_fsdp_train_step(model, tx, loss_weights: dict, mesh: Mesh):
     from pepflowww_tpu.training.train_step import make_loss_fn
 
     import optax
+    from pepflowww_tpu.parallel import tp
     from pepflowww_tpu.training.optim import zero_nans
+
+    # On a real multi-chip TPU mesh, Mosaic kernels fail multi-device jit
+    # lowering outright (tp.xla_profile_model docstring) — swap to the
+    # equivalent XLA graph there; CPU virtual meshes keep pallas-interpret.
+    model = tp.xla_profile_model_if_partitioned(model, mesh)
 
     replicated = NamedSharding(mesh, P())
     data_sharded = NamedSharding(mesh, P("data"))

@@ -27,6 +27,8 @@ replicated path is pinned by tests/test_tp.py on a virtual 2x4 CPU mesh.
 from __future__ import annotations
 
 import contextlib
+import dataclasses
+import warnings
 from contextvars import ContextVar
 from typing import Optional, Sequence
 
@@ -56,6 +58,55 @@ def tp_shard(mesh: Mesh, axis: str = "model"):
         yield
     finally:
         _PAIR_CTX.reset(token)
+
+
+def xla_profile_model(model):
+    """Return ``model`` with the Pallas kernels (and int8, which requires
+    them) disabled — the multi-device factories call this so the trunk
+    traces the numerically-equivalent XLA graph instead.
+
+    Why: a compiled Mosaic kernel cannot be partitioned by jit. jax's TPU
+    lowering raises ``NotImplementedError("Mosaic kernels cannot be
+    automatically partitioned...")`` for any multi-device ``jit``
+    (jax/_src/tpu_custom_call.py, the ``ShardingContext.num_devices != 1``
+    branch) — so on a real pod the Pallas profile would fail at compile on
+    every sharded path (DP, FSDP, TP). The CPU virtual-mesh tests CANNOT
+    catch this: interpret mode inlines the kernel into ordinary
+    partitionable HLO, so only a real multi-chip TPU run would hit the
+    raise. The XLA path is pinned equivalent to the kernels by the parity
+    suite (test_model.py, test_sampler_parity.py), so falling back costs
+    only the single-chip kernel speedup. (The per-shard alternative —
+    shard_map with all axes manual around the whole step — would change the
+    collective semantics of the step; revisit if multi-chip serving ever
+    needs the fused kernels.)
+
+    The swap preserves the parameter tree: the kernels share raw params
+    with the XLA graph (models/embed.py, models/ipa.py), guarded by
+    test_convert.py::test_param_tree_matches.
+    """
+    ipa = model.cfg.ipa
+    if not (ipa.use_pallas or ipa.use_pallas_ipa):
+        return model
+    warnings.warn(
+        "multi-device mesh: Mosaic/Pallas kernels cannot be automatically "
+        "partitioned by jit (jax tpu_custom_call); using the equivalent "
+        "XLA graph for this trace.",
+        stacklevel=3,
+    )
+    new_ipa = dataclasses.replace(
+        ipa, use_pallas=False, use_pallas_ipa=False, quant_int8=False)
+    return type(model)(dataclasses.replace(model.cfg, ipa=new_ipa))
+
+
+def xla_profile_model_if_partitioned(model, mesh: Mesh):
+    """`xla_profile_model`, applied only where the Mosaic raise would
+    actually fire: a real-TPU backend AND a >1-device mesh. On CPU meshes
+    (tests, the driver dryrun) the kernels run in interpret mode — inlined,
+    partitionable HLO — so the Pallas graph itself stays under SPMD there,
+    which is exactly what the virtual-mesh coverage is for."""
+    if mesh.devices.size > 1 and jax.default_backend() == "tpu":
+        return xla_profile_model(model)
+    return model
 
 
 def pair_constraint(x: jax.Array) -> jax.Array:

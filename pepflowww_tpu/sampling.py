@@ -278,6 +278,13 @@ def make_dp_sampler(model: FlowModel, mesh, num_steps: int = 100,
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    from pepflowww_tpu.parallel import tp
+
+    # On a real multi-chip TPU mesh, Mosaic kernels fail multi-device jit
+    # lowering outright (tp.xla_profile_model docstring) — swap to the
+    # equivalent XLA graph there; CPU virtual meshes keep pallas-interpret.
+    model = tp.xla_profile_model_if_partitioned(model, mesh)
+
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P("data"))
 
@@ -315,6 +322,11 @@ def make_tp_sampler(model: FlowModel, mesh, num_steps: int = 100,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from pepflowww_tpu.parallel import tp
+
+    # Pallas custom calls can't partition on the model axis (they would
+    # replicate the very pair tensors TP shards) — trace the equivalent
+    # XLA graph instead (tp.xla_profile_model docstring has the full why).
+    model = tp.xla_profile_model(model)
 
     replicated = NamedSharding(mesh, P())
     sharded = NamedSharding(mesh, P("data"))

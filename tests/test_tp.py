@@ -107,3 +107,74 @@ def test_tp_sampler_single_trace_per_shape():
     fn(p, pb, jax.random.PRNGKey(0))
     fn(p, pb, jax.random.PRNGKey(1))
     assert fn._cache_size() == 1, "same-shape call retraced the TP sampler"
+
+
+def test_tp_pallas_profile_falls_back_to_xla():
+    """A Pallas-profile model under the TP factories must trace the XLA
+    graph (with a warning): compiled Mosaic kernels are opaque custom calls
+    with no SPMD partitioning rule, so on a real model axis they would
+    replicate the pair tensors TP shards — and CPU interpret mode would
+    mask it (tp.xla_profile_model docstring). Outputs must still match the
+    single-device XLA sampler, proving the param tree survives the swap."""
+    import dataclasses
+    import warnings as _w
+
+    from pepflowww_tpu import sampling
+    from test_train import tiny
+
+    model, params, batch = tiny()
+    pallas_model = type(model)(dataclasses.replace(
+        model.cfg, ipa=dataclasses.replace(model.cfg.ipa, use_pallas=True)))
+    key = jax.random.PRNGKey(7)
+    out1 = jax.jit(
+        lambda p, b, k: sampling.euler_sample(model, p, b, k, num_steps=4)
+    )(params, batch, key)
+
+    mesh = make_mesh_2d(2, 4)
+    pb = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        fn = sampling.make_tp_sampler(pallas_model, mesh, num_steps=4)
+    assert any("Pallas" in str(r.message) for r in rec), rec
+    out2 = fn(replicate(params, mesh), pb, key)
+
+    np.testing.assert_allclose(np.asarray(out2["trans"]),
+                               np.asarray(out1["trans"]), atol=5e-5)
+    assert (np.asarray(out2["seqs"]) == np.asarray(out1["seqs"])).all()
+
+
+def test_multidevice_tpu_gate_swaps_pallas_profile(monkeypatch):
+    """xla_profile_model_if_partitioned fires exactly where the Mosaic
+    multi-device raise would: TPU backend AND >1-device mesh. Pinned by
+    monkeypatching the backend — a real pod can't be simulated here, and
+    jax/_src/tpu_custom_call.py raises NotImplementedError('Mosaic kernels
+    cannot be automatically partitioned...') for any multi-device jit."""
+    import warnings as _w
+
+    from pepflowww_tpu.parallel import tp as tp_mod
+    from pepflowww_tpu.parallel.mesh import make_mesh
+    from test_train import tiny
+
+    model, _, _ = tiny()
+    import dataclasses
+    pallas_model = type(model)(dataclasses.replace(
+        model.cfg, ipa=dataclasses.replace(model.cfg.ipa, use_pallas=True)))
+
+    mesh_n = make_mesh(8)
+    mesh_1 = make_mesh(1)
+
+    # CPU backend (this process): no swap even on a multi-device mesh —
+    # interpret-mode kernels inline to partitionable HLO.
+    assert tp_mod.xla_profile_model_if_partitioned(pallas_model, mesh_n) is pallas_model
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    # single chip: the Mosaic path is legal, keep the kernels
+    assert tp_mod.xla_profile_model_if_partitioned(pallas_model, mesh_1) is pallas_model
+    # multi-chip TPU: swap (with a warning) and drop every kernel flag
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        swapped = tp_mod.xla_profile_model_if_partitioned(pallas_model, mesh_n)
+    assert any("Mosaic" in str(r.message) for r in rec), rec
+    assert not swapped.cfg.ipa.use_pallas and not swapped.cfg.ipa.use_pallas_ipa
+    # the non-pallas profile passes through untouched
+    assert tp_mod.xla_profile_model_if_partitioned(model, mesh_n) is model
