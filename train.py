@@ -35,6 +35,12 @@ def main():
                     help="data-parallel with params+optimizer state sharded "
                          "over the data axis (ZeRO-3 memory footprint; "
                          "parallel/fsdp.py). Implies the data mesh.")
+    ap.add_argument("--tp", type=int, default=0,
+                    help="model-axis size of a 2-D (data, model) mesh: the "
+                         "trunk's L² pair tensors shard their query rows "
+                         "over this many devices (parallel/tp.py) while the "
+                         "batch shards over the rest — for widths whose pair "
+                         "activations exceed one chip's HBM.")
     ap.add_argument("--synthetic", action="store_true", help="train on synthetic data")
     ap.add_argument("--structure_dir", type=str, default=None)
     ap.add_argument("--dataset_dir", type=str, default=None)
@@ -234,6 +240,7 @@ def main():
         logger.info("Resumed from %s at iteration %d", args.resume, it_first)
 
     loss_weights = dict(train_cfg["loss_weights"])
+    assert not (args.tp and args.fsdp), "--tp and --fsdp are separate axes; pick one"
     if args.multihost and not args.dp:
         # a plain (unsharded) jit step cannot consume multi-process arrays
         logger.info("--multihost implies --dp; enabling the data mesh")
@@ -251,6 +258,21 @@ def main():
         mesh = make_mesh()
         step_fn, fsdp_prepare = make_fsdp_train_step(model, tx, loss_weights, mesh)
         params, opt_state = fsdp_prepare(params, opt_state)
+    elif args.tp:
+        # 2-D (data, model) mesh: batch on "data", pair-tensor query rows on
+        # "model" (parallel/tp.py; equivalence pinned by tests/test_tp.py).
+        # Params/opt state replicate, so checkpointing and the val pass work
+        # exactly as under --dp.
+        from pepflowww_tpu.parallel.mesh import replicate
+        from pepflowww_tpu.parallel.tp import make_mesh_2d
+        from pepflowww_tpu.training.train_step import make_tp_train_step
+
+        n_dev = len(jax.devices())
+        assert n_dev % args.tp == 0, (n_dev, args.tp)
+        mesh = make_mesh_2d(n_dev // args.tp, args.tp)
+        step_fn = make_tp_train_step(model, tx, loss_weights, mesh)
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
     elif args.dp:
         from pepflowww_tpu.parallel.mesh import replicate
 
