@@ -31,7 +31,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _leaf_spec(shape, n_shard: int, min_size: int) -> P:
+def _leaf_spec(shape, n_shard: int, min_size: int, axis: str = "data") -> P:
     """Partition spec for one array: biggest dim divisible by n_shard."""
     if not shape or int(np.prod(shape)) < min_size:
         return P()
@@ -39,7 +39,7 @@ def _leaf_spec(shape, n_shard: int, min_size: int) -> P:
     for i in dims:
         if shape[i] % n_shard == 0 and shape[i] >= n_shard:
             spec = [None] * len(shape)
-            spec[i] = "data"
+            spec[i] = axis
             return P(*spec)
     return P()
 
@@ -52,7 +52,8 @@ def fsdp_shardings(tree, mesh: Mesh, axis: str = "data", min_size: int = 2 ** 10
     n = mesh.shape[axis]
 
     def one(leaf):
-        return NamedSharding(mesh, _leaf_spec(getattr(leaf, "shape", ()), n, min_size))
+        return NamedSharding(
+            mesh, _leaf_spec(getattr(leaf, "shape", ()), n, min_size, axis))
 
     return jax.tree.map(one, tree)
 
@@ -91,14 +92,32 @@ def gather_tree(tree, mesh: Mesh):
     return fn(tree)
 
 
-def make_fsdp_train_step(model, tx, loss_weights: dict, mesh: Mesh):
-    """FSDP train step over a 1-D ``data`` mesh.
+def make_fsdp_train_step(model, tx, loss_weights: dict, mesh: Mesh,
+                         tp_axis: str | None = None):
+    """FSDP train step over a ``data`` mesh axis.
 
     Returns ``(step, prepare)``: ``prepare(params, opt_state)`` shards both
     trees onto their FSDP layout (call once after init/restore);
     ``step(params, opt_state, batch, rng)`` keeps them sharded across calls
     (in_shardings == out_shardings, so steady-state training never
     re-gathers the optimizer state).
+
+    ``prepare`` CONSUMES its inputs: device_put onto the sharded layout
+    aliases each source buffer on the device it already lives on, and the
+    donating step then frees those buffers along with the prepared tree.
+    Rebind (``params, opt = prepare(params, opt)``, as train.py does) and
+    don't touch the originals afterwards; ``.copy()`` first if you need
+    them (e.g. to prepare the same init onto two meshes — __graft_entry__).
+
+    ``tp_axis``: name of a second (model) mesh axis to compose with pair-row
+    tensor parallelism (parallel/tp.py) — the standard 2-D production
+    recipe: params + Adam state live 1/N_data per device (replicated over
+    the model axis, so each TP group can assemble them locally), while the
+    trunk's L² pair activations shard 1/N_model. The two memory axes are
+    independent — FSDP bounds the *state*, TP bounds the *activations* —
+    so their product is what lets both the 8x-width parameter count AND its
+    L² pair tensors exceed a single chip. Equivalence to the single-device
+    step is pinned by tests/test_fsdp.py::test_fsdp_tp_matches_single_device.
 
     Contrast: `train_ddp.py:94` replicates all state on every device.
     """
@@ -108,10 +127,16 @@ def make_fsdp_train_step(model, tx, loss_weights: dict, mesh: Mesh):
     from pepflowww_tpu.parallel import tp
     from pepflowww_tpu.training.optim import zero_nans
 
-    # On a real multi-chip TPU mesh, Mosaic kernels fail multi-device jit
-    # lowering outright (tp.xla_profile_model docstring) — swap to the
-    # equivalent XLA graph there; CPU virtual meshes keep pallas-interpret.
-    model = tp.xla_profile_model_if_partitioned(model, mesh)
+    if tp_axis is not None:
+        # Pallas custom calls have no SPMD partitioning rule on the model
+        # axis (they would replicate the very pair tensors TP shards) —
+        # trace the equivalent XLA graph, same as make_tp_train_step.
+        model = tp.xla_profile_model(model)
+    else:
+        # On a real multi-chip TPU mesh, Mosaic kernels fail multi-device jit
+        # lowering outright (tp.xla_profile_model docstring) — swap to the
+        # equivalent XLA graph there; CPU virtual meshes keep pallas-interpret.
+        model = tp.xla_profile_model_if_partitioned(model, mesh)
 
     replicated = NamedSharding(mesh, P())
     data_sharded = NamedSharding(mesh, P("data"))
@@ -145,6 +170,12 @@ def make_fsdp_train_step(model, tx, loss_weights: dict, mesh: Mesh):
         return shard_tree(params, p_sh), shard_tree(opt_state, o_sh)
 
     def step(params, opt_state, batch, rng):
+        if tp_axis is not None:
+            # tp_shard only matters while TRACING (the pair constraints bake
+            # into the jaxpr); entering it per call keeps the single wrapper.
+            with tp.tp_shard(mesh, tp_axis):
+                return state["jit"](params, opt_state, batch, rng)
         return state["jit"](params, opt_state, batch, rng)
 
+    step._state = state  # introspection (tests fingerprint the lowering)
     return step, prepare

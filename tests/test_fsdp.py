@@ -122,6 +122,70 @@ def test_fsdp_flagship_coverage():
     assert sharded / tot > 0.95, sharded / tot
 
 
+def test_fsdp_tp_matches_single_device():
+    """FSDP x TP on a 4x2 (data, model) mesh == the single-device step: the
+    2-D production recipe (state 1/N_data per device, pair activations
+    1/N_model) must be numerically a relabeling, not a different program."""
+    model, params, batch, tx = _setup()
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from pepflowww_tpu.parallel.tp import make_mesh_2d
+
+    opt0 = tx.init(params)
+    ref_step = make_train_step(model, tx, WEIGHTS, donate=False)
+    p1, o1, m1 = ref_step(params, opt0, batch, jax.random.PRNGKey(5))
+    p1, o1, m1 = ref_step(p1, o1, batch, jax.random.PRNGKey(6))
+
+    mesh = make_mesh_2d(4, 2)
+    step, prepare = make_fsdp_train_step(model, tx, WEIGHTS, mesh,
+                                         tp_axis="model")
+    pb = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    p2, o2 = prepare(params, tx.init(params))
+    p2, o2, m2 = step(p2, o2, pb, jax.random.PRNGKey(5))
+    p2, o2, m2 = step(p2, o2, pb, jax.random.PRNGKey(6))
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-4)
+    deltas = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, p2)
+    assert max(jax.tree.leaves(deltas)) < 2e-4
+
+    # The memory claims must BOTH hold: params/moments sharded 1/4 over
+    # "data" (replicated over "model", so each TP group assembles locally)...
+    n_data = mesh.shape["data"]
+    found = 0
+    for leaf in jax.tree.leaves(p2):
+        if leaf.size >= 2 ** 10 and \
+                leaf.addressable_shards[0].data.size * n_data == leaf.size:
+            found += 1
+    assert found > 0, "no param leaf is FSDP-sharded on the 2-D mesh"
+
+
+def test_fsdp_tp_pair_tensors_are_sharded():
+    """The composed step's compiled module must ALSO row-shard the pair
+    tensors — composition must not silently drop the TP constraints.
+    Same fingerprint as test_tp.py: tiny dims (B=8, L=16) on (4, 2) give
+    per-shard pair shapes (2, 8, 16, c) vs full rows (2, 16, 16, c)."""
+    import re
+
+    model, params, batch, tx = _setup()
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    from pepflowww_tpu.parallel.tp import make_mesh_2d
+
+    mesh = make_mesh_2d(4, 2)
+    step, prepare = make_fsdp_train_step(model, tx, WEIGHTS, mesh,
+                                         tp_axis="model")
+    pb = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    p, o = prepare(params, tx.init(params))
+    from pepflowww_tpu.parallel import tp as tp_mod
+
+    with tp_mod.tp_shard(mesh, "model"):
+        txt = step._state["jit"].lower(
+            p, o, pb, jax.random.PRNGKey(0)).compile().as_text()
+    full = len(re.findall(r"f32\[2,16,16,\d+\]", txt))
+    shard = len(re.findall(r"f32\[2,8,16,\d+\]", txt))
+    assert shard > 5 * max(full, 1), (shard, full)
+
+
 def test_fsdp_sharding_rule():
     """Leaves below min_size or with no divisible dim replicate; others
     shard exactly one (their largest divisible) dim."""

@@ -193,6 +193,46 @@ def test_train_cli_synthetic_val(tmp_path):
     assert "val it 3" in log and "val it 6" in log, log[-2000:]
 
 
+def test_train_cli_fsdp_tp(tmp_path):
+    """`--fsdp --tp 2` (the composed 2-D recipe, 4x2 over the 8 virtual
+    devices) trains from the CLI: finite decreasing-side losses, clean exit.
+    Guards the train.py wiring, not the numerics (those are pinned by
+    test_fsdp.py::test_fsdp_tp_matches_single_device)."""
+    import os
+    import subprocess
+    import sys
+
+    import yaml
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "configs/learn_angle.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["model"]["encoder"]["ipa"].update(
+        c_s=32, c_z=16, c_hidden=32, no_heads=2, no_qk_points=2,
+        no_v_points=3, seq_tfmr_num_layers=1, num_blocks=2)
+    cfg["model"]["encoder"]["node_embed_size"] = 32
+    cfg["model"]["encoder"]["edge_embed_size"] = 16
+    path = tmp_path / "tiny_fsdp_tp.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import sys, runpy; "
+        f"sys.argv=['train.py','--config',{str(path)!r},'--synthetic','--debug',"
+        "'--max_iters','4','--log_freq','2','--batch_size','8',"
+        "'--fsdp','--tp','2']; "
+        "runpy.run_path('train.py', run_name='__main__')"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=root, timeout=900)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    log = out.stdout + out.stderr
+    losses = [float(m) for m in
+              __import__("re").findall(r"it \d+ \| loss ([-\d.]+)", log)]
+    assert losses and all(np.isfinite(l) for l in losses), log[-2000:]
+
+
 def test_train_cli_sigterm_checkpoints(tmp_path):
     """SIGTERM (TPU preemption) triggers a final checkpoint and clean exit."""
     import os

@@ -40,7 +40,8 @@ def main():
                          "trunk's L² pair tensors shard their query rows "
                          "over this many devices (parallel/tp.py) while the "
                          "batch shards over the rest — for widths whose pair "
-                         "activations exceed one chip's HBM.")
+                         "activations exceed one chip's HBM. Composable with "
+                         "--fsdp (state 1/N_data + activations 1/N_model).")
     ap.add_argument("--synthetic", action="store_true", help="train on synthetic data")
     ap.add_argument("--structure_dir", type=str, default=None)
     ap.add_argument("--dataset_dir", type=str, default=None)
@@ -240,7 +241,6 @@ def main():
         logger.info("Resumed from %s at iteration %d", args.resume, it_first)
 
     loss_weights = dict(train_cfg["loss_weights"])
-    assert not (args.tp and args.fsdp), "--tp and --fsdp are separate axes; pick one"
     if args.multihost and not args.dp:
         # a plain (unsharded) jit step cannot consume multi-process arrays
         logger.info("--multihost implies --dp; enabling the data mesh")
@@ -253,10 +253,22 @@ def main():
         # same invariant mesh.replicate relies on; orbax checkpoint saves
         # stay collective over the sharded arrays
         # (tests/test_multihost.py::test_two_process_fsdp_trajectory).
+        # Combined with --tp N: 2-D (data, model) mesh — state 1/N_data per
+        # device (FSDP) AND pair activations 1/N_model (TP), the standard
+        # production 2-D recipe (tests/test_fsdp.py::test_fsdp_tp_*).
         from pepflowww_tpu.parallel.fsdp import make_fsdp_train_step
 
-        mesh = make_mesh()
-        step_fn, fsdp_prepare = make_fsdp_train_step(model, tx, loss_weights, mesh)
+        if args.tp:
+            from pepflowww_tpu.parallel.tp import make_mesh_2d
+
+            n_dev = len(jax.devices())
+            assert n_dev % args.tp == 0, (n_dev, args.tp)
+            mesh = make_mesh_2d(n_dev // args.tp, args.tp)
+            step_fn, fsdp_prepare = make_fsdp_train_step(
+                model, tx, loss_weights, mesh, tp_axis="model")
+        else:
+            mesh = make_mesh()
+            step_fn, fsdp_prepare = make_fsdp_train_step(model, tx, loss_weights, mesh)
         params, opt_state = fsdp_prepare(params, opt_state)
     elif args.tp:
         # 2-D (data, model) mesh: batch on "data", pair-tensor query rows on
