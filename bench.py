@@ -199,6 +199,12 @@ def bench_training(model, params, reps=10):
 def bench_ours() -> dict:
     import jax
 
+    from pepflowww_tpu.utils.misc import enable_compilation_cache
+
+    # Compile-time only — the cached executable is byte-identical to a
+    # fresh compile, so measured step times are unaffected.
+    enable_compilation_cache()
+
     model = _flagship_model()
     b0 = _make_batch(BATCH, PEP_LEN, REC_LEN, PAD_TO)
     key = jax.random.PRNGKey(0)

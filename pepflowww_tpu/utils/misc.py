@@ -133,6 +133,56 @@ def count_parameters(params) -> int:
     return sum(x.size for x in jax.tree_util.tree_leaves(params))
 
 
+def enable_compilation_cache(path: Optional[str] = None,
+                             min_compile_secs: float = 5.0,
+                             ) -> Optional[str]:
+    """Turn on JAX's persistent XLA compilation cache (fail-soft).
+
+    The reference's torch graphs pay no compile step; here every (bucket,
+    batch, profile) shape triple compiles once per process — 20-40 s each
+    over the axon tunnel. A disk cache removes the recompile on every CLI
+    restart (measured on the chip: train.py --synthetic --max_iters 12 wall
+    4 m 33 s cold -> 3 m 18 s warm) and serves serve.py's per-bucket warmup.
+
+    `min_compile_secs` sets jax_persistent_cache_min_compile_time_secs;
+    the default is 5 s (not JAX's 1 s) ON PURPOSE: caching the host-pinned
+    CPU helper jits is worthless (ms-scale compiles — they only cross 1 s
+    under heavy concurrent CPU load) and every warm load of a cached CPU
+    executable trips xla's cpu_aot_loader strict machine-feature check
+    (pseudo-features like +prefer-no-gather are recorded at serialize time
+    but never reported by the host detector), spraying same-machine-benign
+    but ERROR-level SIGILL warnings over every CLI log. The >5 s entries
+    that remain are exactly the 20-100 s TPU executables the cache exists
+    for (measured: train.py restart 4 m 33 s cold -> 3 m 18 s warm).
+
+    Resolution order: explicit `path` arg > $PEPFLOWWW_CACHE_DIR >
+    ~/.cache/pepflowww_tpu/xla. Set $PEPFLOWWW_CACHE_DIR=0 (or pass
+    path="0") to disable. Returns the cache dir in use, or None when
+    disabled or when enabling failed (never raises: a read-only HOME or an
+    old jax must not take down training).
+    """
+    if path is None:
+        path = os.environ.get("PEPFLOWWW_CACHE_DIR")
+    if path is None:
+        path = os.path.join(
+            os.path.expanduser("~"), ".cache", "pepflowww_tpu", "xla")
+    if path in ("0", "off", "none"):
+        return None
+    try:
+        import jax
+
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", min_compile_secs)
+        return path
+    except Exception:
+        logging.getLogger(__name__).warning(
+            "persistent compilation cache unavailable (dir %s)", path,
+            exc_info=True)
+        return None
+
+
 def git_version_stamp(repo_dir: str = ".") -> str:
     """Best-effort commit stamp (pepflow/utils/vc.py:4-20)."""
     import subprocess

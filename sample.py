@@ -58,6 +58,9 @@ def main():
 
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from pepflowww_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
     import jax.numpy as jnp
 
     from pepflowww_tpu import metrics as M

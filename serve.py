@@ -354,6 +354,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from pepflowww_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from pepflowww_tpu.data.collate import device_batch
     from pepflowww_tpu.data.synthetic import make_batch
     from pepflowww_tpu.models.flow import FlowModel

@@ -96,6 +96,10 @@ def main():
         else:
             jax.distributed.initialize()
 
+    from pepflowww_tpu.utils.misc import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from pepflowww_tpu.training.config import load_config
     from pepflowww_tpu.training.optim import (PlateauScheduler, get_learning_rate,
                                           make_optimizer, set_learning_rate)
