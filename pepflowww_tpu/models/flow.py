@@ -118,11 +118,16 @@ class FlowModel(nn.Module):
         return pos * res_mask[..., None].astype(pos.dtype), center[:, None, :]
 
     # ------------------------------------------------------------------
-    def loss(self, batch):
-        """Training objective (flow_model.py:111-227). Uses the 'corruption'
-        RNG stream for t / noise / discrete sampling."""
+    def loss_pre(self, batch):
+        """Everything in the training objective BEFORE the denoise call
+        (flow_model.py:111-163): encode, t sampling and the corruption of
+        all modalities. Returns the denoiser inputs plus the loss targets
+        as one dict, so the pipeline-parallel step (parallel/pp.py) can run
+        the trunk between ``loss_pre`` and ``loss_post`` with the exact RNG
+        stream and math of :meth:`loss` (which is literally this function
+        + denoise + ``loss_post``)."""
         icfg = self.cfg.interpolant
-        K, k = icfg.num_classes, icfg.simplex_value
+        k = icfg.simplex_value
         B, L = batch["aa"].shape
 
         gen_mask = batch["generate_mask"].astype(jnp.float32)
@@ -176,10 +181,34 @@ class FlowModel(nn.Module):
         angles_t = jax.lax.stop_gradient(angles_t)
         seqs_t = jax.lax.stop_gradient(seqs_t)
 
-        pred_rotmats_1, pred_trans_1, pred_angles_1, pred_seqs_1_prob = self.denoise(
-            t, rotmats_t, trans_t_c, angles_t, seqs_t, node_embed, edge_embed,
-            batch["generate_mask"], batch["res_mask"],
-        )
+        return {
+            # denoiser inputs
+            "t": t, "rotmats_t": rotmats_t, "trans_t_c": trans_t_c,
+            "angles_t": angles_t, "seqs_t": seqs_t,
+            "node_embed": node_embed, "edge_embed": edge_embed,
+            # loss targets / RNG for loss_post
+            "rotmats_1": rotmats_1, "trans_1_c": trans_1_c,
+            "angles_1": angles_1, "seqs_1": seqs_1,
+            "k_predsamp": k_predsamp,
+        }
+
+    def loss_post(self, batch, pre, denoised):
+        """The 6 losses given the denoiser outputs (flow_model.py:164-227).
+        ``pre`` is :meth:`loss_pre`'s dict; ``denoised`` is the 4-tuple the
+        trunk returns. Uses no parameters and no implicit RNG (the
+        prediction-sampling key was drawn in loss_pre), so the
+        pipeline-parallel step can call it outside the pipelined region."""
+        icfg = self.cfg.interpolant
+        gen_mask = batch["generate_mask"].astype(jnp.float32)
+
+        t = pre["t"]
+        rotmats_t, angles_t = pre["rotmats_t"], pre["angles_t"]
+        rotmats_1, trans_1_c = pre["rotmats_1"], pre["trans_1_c"]
+        angles_1, seqs_1 = pre["angles_1"], pre["seqs_1"]
+        k_predsamp = pre["k_predsamp"]
+        gm1 = batch["generate_mask"][..., None]
+
+        pred_rotmats_1, pred_trans_1, pred_angles_1, pred_seqs_1_prob = denoised
         pred_seqs_1 = simplex.sample_from(
             k_predsamp, jax.nn.softmax(pred_seqs_1_prob, axis=-1)
         )
@@ -252,6 +281,17 @@ class FlowModel(nn.Module):
             "angle_loss": angle_loss,
             "torsion_loss": torsion_loss,
         }
+
+    def loss(self, batch):
+        """Training objective (flow_model.py:111-227). Uses the 'corruption'
+        RNG stream for t / noise / discrete sampling."""
+        pre = self.loss_pre(batch)
+        denoised = self.denoise(
+            pre["t"], pre["rotmats_t"], pre["trans_t_c"], pre["angles_t"],
+            pre["seqs_t"], pre["node_embed"], pre["edge_embed"],
+            batch["generate_mask"], batch["res_mask"],
+        )
+        return self.loss_post(batch, pre, denoised)
 
     def __call__(self, batch):
         return self.loss(batch)

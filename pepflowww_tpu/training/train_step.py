@@ -145,3 +145,70 @@ def make_tp_train_step(model, tx, loss_weights: dict, mesh):
             return jitted(params, opt_state, batch, rng)
 
     return stepper
+
+
+def make_pp_train_step(model, tx, loss_weights: dict, mesh, n_micro: int):
+    """Pipeline(+data)-parallel step over a ``(data, pipe)`` mesh
+    (parallel/pp.py): the trunk's block stack is sharded over 'pipe' and
+    microbatches stream through it GPipe-style; corruption/encode and the
+    loss epilogue run full-batch outside the pipelined region, so the RNG
+    stream and loss math are exactly models/flow.py::loss (loss_pre →
+    pipelined denoise → loss_post). Batch shards on 'data'; params/opt
+    state replicate (depth compute+activations are the PP axis's job —
+    param memory is FSDP's, pair memory TP's).
+
+    Equivalence to the replicated path is pinned by tests/test_pp.py.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pepflowww_tpu.parallel import pp, tp
+
+    # Mosaic kernels are single-device programs; the pipelined trace is
+    # multi-device by construction (tp.xla_profile_model docstring).
+    model = tp.xla_profile_model(model)
+    cfg = model.cfg.ipa
+    nb = cfg.num_blocks
+    assert model.cfg.edge_embed_size == cfg.c_z, (
+        "pp assumes a width-uniform pair track (edge_embed_size == c_z); "
+        "the stacked first-block IPA readout weights would otherwise differ "
+        "in shape from the later blocks'")
+
+    replicated = NamedSharding(mesh, P())
+    data_sharded = NamedSharding(mesh, P("data"))
+
+    def loss_fn(params, batch, rng):
+        pre = model.apply({"params": params}, batch, method="loss_pre",
+                          rngs={"corruption": rng})
+        ga = params["ga_encoder"]
+        state0 = pp.trunk_prologue(
+            cfg, ga, pre["t"], pre["rotmats_t"], pre["trans_t_c"],
+            pre["angles_t"], pre["seqs_t"], pre["node_embed"],
+            pre["edge_embed"], batch["res_mask"].astype(jnp.int32))
+        stacked = pp.stack_block_params(ga, nb)
+        node, R, tr = pp.pipeline_blocks(mesh, cfg, stacked, state0,
+                                         n_micro, nb)
+        denoised = pp.trunk_epilogue(cfg, ga, node, R, tr)
+        losses = model.apply({"params": params}, batch, pre, denoised,
+                             method="loss_post")
+        total = sum_weighted_losses(losses, loss_weights)
+        total = jnp.where(jnp.isfinite(total), total, 0.0)
+        return total, losses
+
+    def train_step(params, opt_state, batch, rng):
+        (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng
+        )
+        grads = zero_nans(grads)
+        grad_norm = optax.global_norm(grads)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(losses)
+        metrics["loss"] = total
+        metrics["grad_norm"] = grad_norm
+        return params, opt_state, metrics
+
+    return jax.jit(
+        train_step,
+        in_shardings=(replicated, replicated, data_sharded, replicated),
+        out_shardings=(replicated, replicated, replicated),
+    )

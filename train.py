@@ -42,6 +42,16 @@ def main():
                          "batch shards over the rest — for widths whose pair "
                          "activations exceed one chip's HBM. Composable with "
                          "--fsdp (state 1/N_data + activations 1/N_model).")
+    ap.add_argument("--pp", type=int, default=0,
+                    help="pipe-axis size of a 2-D (data, pipe) mesh: the "
+                         "trunk's block stack shards over this many pipeline "
+                         "stages (GPipe microbatching, parallel/pp.py) while "
+                         "the batch shards over the rest — the depth axis, "
+                         "for block stacks that exceed one chip's HBM. "
+                         "num_blocks must be divisible by it.")
+    ap.add_argument("--pp_microbatches", type=int, default=4,
+                    help="microbatches per step under --pp; the fill/drain "
+                         "bubble is (pp-1)/(microbatches+pp-1).")
     ap.add_argument("--synthetic", action="store_true", help="train on synthetic data")
     ap.add_argument("--structure_dir", type=str, default=None)
     ap.add_argument("--dataset_dir", type=str, default=None)
@@ -245,6 +255,9 @@ def main():
         logger.info("Resumed from %s at iteration %d", args.resume, it_first)
 
     loss_weights = dict(train_cfg["loss_weights"])
+    if args.pp and (args.fsdp or args.tp):
+        ap.error("--pp composes with the data axis of its own (data, pipe) "
+                 "mesh; combining it with --fsdp/--tp is not supported")
     if args.multihost and not args.dp:
         # a plain (unsharded) jit step cannot consume multi-process arrays
         logger.info("--multihost implies --dp; enabling the data mesh")
@@ -287,6 +300,22 @@ def main():
         assert n_dev % args.tp == 0, (n_dev, args.tp)
         mesh = make_mesh_2d(n_dev // args.tp, args.tp)
         step_fn = make_tp_train_step(model, tx, loss_weights, mesh)
+        params = replicate(params, mesh)
+        opt_state = replicate(opt_state, mesh)
+    elif args.pp:
+        # 2-D (data, pipe) mesh: the trunk's block stack shards over "pipe"
+        # and microbatches stream through it GPipe-style (parallel/pp.py;
+        # equivalence pinned by tests/test_pp.py). Params/opt state
+        # replicate, so checkpointing and the val pass work as under --dp.
+        from pepflowww_tpu.parallel.mesh import replicate
+        from pepflowww_tpu.parallel.pp import make_mesh_pp
+        from pepflowww_tpu.training.train_step import make_pp_train_step
+
+        n_dev = len(jax.devices())
+        assert n_dev % args.pp == 0, (n_dev, args.pp)
+        mesh = make_mesh_pp(n_dev // args.pp, args.pp)
+        step_fn = make_pp_train_step(model, tx, loss_weights, mesh,
+                                     n_micro=args.pp_microbatches)
         params = replicate(params, mesh)
         opt_state = replicate(opt_state, mesh)
     elif args.dp:
