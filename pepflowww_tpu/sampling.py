@@ -303,6 +303,29 @@ def make_dp_sampler(model: FlowModel, mesh, num_steps: int = 100,
     return jax.jit(fn, in_shardings=(replicated, sharded, replicated))
 
 
+def make_best_dp_sampler(model: FlowModel, mesh, **kw):
+    """Pick the right DP-sampler implementation for this model profile.
+
+    Pallas profile → the manual shard_map path (parallel/manual.py): keeps
+    the fused Mosaic kernels per-device on a real pod — the single-chip
+    kernel throughput — where the automatic-SPMD path must swap them for
+    the XLA graph (tp.xla_profile_model; the measured cost of that swap is
+    bench.py's ``sampling_pps_xla``). Per-shard RNG, so results are
+    statistically (not bitwise) equal to the single-device sampler.
+
+    XLA profile → the automatic-SPMD path (:func:`make_dp_sampler`), which
+    keeps bitwise global-RNG parity with the single-device sampler.
+
+    sample.py/serve.py ``--dp`` route through this.
+    """
+    ipa = model.cfg.ipa
+    if getattr(ipa, "use_pallas", False) or getattr(ipa, "use_pallas_ipa", False):
+        from pepflowww_tpu.parallel.manual import make_manual_dp_sampler
+
+        return make_manual_dp_sampler(model, mesh, **kw)
+    return make_dp_sampler(model, mesh, **kw)
+
+
 def make_tp_sampler(model: FlowModel, mesh, num_steps: int = 100,
                     sample_bb: bool = True, sample_ang: bool = True,
                     sample_seq: bool = True):

@@ -130,7 +130,10 @@ def main():
             elif args.dp:
                 from pepflowww_tpu.parallel.mesh import make_mesh
 
-                sampler_cache[L] = sampling.make_dp_sampler(
+                # Pallas profile -> shard_map path (keeps the fused kernels
+                # per chip on a pod); XLA profile -> automatic SPMD
+                # (sampling.make_best_dp_sampler docstring).
+                sampler_cache[L] = sampling.make_best_dp_sampler(
                     model, make_mesh(), num_steps=args.num_steps,
                     sample_bb=bool(args.sample_bb),
                     sample_ang=bool(args.sample_ang),

@@ -234,10 +234,17 @@ def _run_group(group_key, rows, contexts):
             if S.mesh is not None and getattr(S.args, "tp", 0):
                 S.samplers[skey] = sampling.make_tp_sampler(
                     S.model, S.mesh, num_steps=steps)
+            elif S.mesh is not None:
+                # Profile-aware DP: the Pallas profile takes the shard_map
+                # path (keeps the fused kernels per chip — a pod serves at
+                # the single-chip kernel throughput); the XLA profile takes
+                # automatic SPMD (sampling.make_best_dp_sampler docstring).
+                # The padded batch is already a device multiple (above).
+                S.samplers[skey] = sampling.make_best_dp_sampler(
+                    S.model, S.mesh, num_steps=steps)
             else:
                 S.samplers[skey] = sampling.make_sampler(
-                    S.model, num_steps=steps,
-                    microbatch=None if S.mesh is not None else 64,
+                    S.model, num_steps=steps, microbatch=64,
                 )
         fn = S.samplers[skey]
         _KEY_COUNTER[0] += 1
