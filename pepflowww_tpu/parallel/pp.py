@@ -7,8 +7,12 @@ adds the DEPTH axis: the trunk's ``num_blocks`` identical
 {IPA → LN → seq-tfmr → transition → frame-update → edge-transition} blocks
 (models/trunk.py, ga.py:15-126 in the reference) are sharded over a
 ``pipe`` mesh axis and microbatches stream through the stages, so models
-whose block stack exceeds one chip's HBM can train at all. Composes with
-the ``data`` axis on one 2-D ``(data, pipe)`` mesh.
+whose block-stack *activations and compute* exceed one chip can train at
+all (PP bounds depth compute + live activations to 1/S per device; the
+param/optimizer memory axis is FSDP's job — see the scope paragraph
+below). Composes with the ``data`` axis on one 2-D ``(data, pipe)`` mesh,
+and with FSDP state sharding over that same data axis
+(``train.py --pp N --fsdp``; train_step.make_pp_train_step(fsdp=True)).
 
 Design (idiomatic JAX — the scaling-book pipelining recipe, not a port of
 any torch pipeline engine):
@@ -35,10 +39,21 @@ any torch pipeline engine):
   activation state per tick instead of every block interior.
 
 What PP does and does not shard here: block COMPUTE and ACTIVATIONS are
-1/S per device; the checkpoint param tree stays replicated (it is restacked
-inside the step — at flagship size the copy is ~7 M params). Sharding the
-params/optimizer memory is the FSDP axis's job; pair-tensor memory is the
-TP axis's. PP is the axis for depth.
+1/S per device; the checkpoint param tree stays replicated, and the stack
+of per-block subtrees is rebuilt INSIDE the step (``stack_block_params``
+in the jit'd loss). That restack is pure data movement — at flagship size
+a 6.26 M-param (25 MB fp32) contiguous copy, ~0.03 ms of HBM traffic at
+v5e bandwidth, whose transpose (the grad unstack) adds the same again;
+measured on the real chip the whole jit'd restack runs at ≤3.0 ms/call
+wall amortized INCLUDING axon dispatch (PERF.md round-5 "PP cost
+accounting") against a ~39 ms step. That is why the state is NOT kept
+stacked across steps: doing so would force every checkpoint save / val
+pass / cross-topology resume through an unstack-restack pair and re-key
+the tree convert.py guards, to save well under 1% of a step. Sharding the
+params/optimizer memory is the FSDP axis's job (composable here —
+``train_step.make_pp_train_step(fsdp=True)`` shards state 1/N_data over
+the 'data' axis of the same mesh); pair-tensor memory is the TP axis's.
+PP is the axis for depth.
 """
 
 from __future__ import annotations

@@ -147,7 +147,8 @@ def make_tp_train_step(model, tx, loss_weights: dict, mesh):
     return stepper
 
 
-def make_pp_train_step(model, tx, loss_weights: dict, mesh, n_micro: int):
+def make_pp_train_step(model, tx, loss_weights: dict, mesh, n_micro: int,
+                       fsdp: bool = False):
     """Pipeline(+data)-parallel step over a ``(data, pipe)`` mesh
     (parallel/pp.py): the trunk's block stack is sharded over 'pipe' and
     microbatches stream through it GPipe-style; corruption/encode and the
@@ -156,6 +157,17 @@ def make_pp_train_step(model, tx, loss_weights: dict, mesh, n_micro: int):
     pipelined denoise → loss_post). Batch shards on 'data'; params/opt
     state replicate (depth compute+activations are the PP axis's job —
     param memory is FSDP's, pair memory TP's).
+
+    ``fsdp=True`` composes the two memory axes on the SAME mesh
+    (train.py ``--pp N --fsdp``): params + Adam state shard 1/N_data over
+    the 'data' axis (parallel/fsdp.py's rule) while block compute and
+    activations stay 1/S over 'pipe'. GSPMD all-gathers the (sharded)
+    block subtrees right before `stack_block_params`, the stacked copy
+    enters the shard_map region under its P('pipe') spec, and the grad
+    transpose reduce-scatters back to the 1/N_data layout — no manual
+    collectives, same recipe as make_fsdp_train_step. Returns
+    ``(step, prepare)`` in this mode (prepare CONSUMES its inputs, like
+    fsdp's). Equivalence pinned by tests/test_pp.py::test_pp_fsdp_*.
 
     Equivalence to the replicated path is pinned by tests/test_pp.py.
     """
@@ -207,8 +219,30 @@ def make_pp_train_step(model, tx, loss_weights: dict, mesh, n_micro: int):
         metrics["grad_norm"] = grad_norm
         return params, opt_state, metrics
 
-    return jax.jit(
-        train_step,
-        in_shardings=(replicated, replicated, data_sharded, replicated),
-        out_shardings=(replicated, replicated, replicated),
-    )
+    if not fsdp:
+        return jax.jit(
+            train_step,
+            in_shardings=(replicated, replicated, data_sharded, replicated),
+            out_shardings=(replicated, replicated, replicated),
+        )
+
+    from pepflowww_tpu.parallel.fsdp import fsdp_shardings, shard_tree
+
+    state = {}
+
+    def prepare(params, opt_state):
+        p_sh = fsdp_shardings(params, mesh)
+        o_sh = fsdp_shardings(opt_state, mesh)
+        state["jit"] = jax.jit(
+            train_step,
+            in_shardings=(p_sh, o_sh, data_sharded, replicated),
+            out_shardings=(p_sh, o_sh, replicated),
+            donate_argnums=(0, 1),
+        )
+        return shard_tree(params, p_sh), shard_tree(opt_state, o_sh)
+
+    def step(params, opt_state, batch, rng):
+        return state["jit"](params, opt_state, batch, rng)
+
+    step._state = state  # introspection (tests fingerprint the lowering)
+    return step, prepare

@@ -132,3 +132,33 @@ def test_pp_train_step_matches_single_device():
                                    err_msg=k)
     deltas = jax.tree.map(lambda a, b: float(jnp.max(jnp.abs(a - b))), p1, p2)
     assert max(jax.tree.leaves(deltas)) < 1e-5
+
+
+def test_pp_fsdp_composed_matches_single_device():
+    """--pp --fsdp: params + Adam state sharded 1/N_data over 'data' while
+    blocks pipeline over 'pipe' on the SAME (2, 4) mesh — one Adam step must
+    still equal the single-device step, and the prepared state must actually
+    be sharded (not silently replicated)."""
+    model, params, batch = tiny_deep(num_blocks=4)
+    tx = make_optimizer({"type": "adam", "lr": 1e-3}, 100.0)
+    opt0 = tx.init(params)
+    p1, o1, m1 = make_train_step(model, tx, WEIGHTS, donate=False)(
+        params, opt0, batch, jax.random.PRNGKey(5))
+
+    mesh = pp.make_mesh_pp(2, 4)
+    pb = jax.device_put(batch, NamedSharding(mesh, P("data")))
+    step, prepare = make_pp_train_step(model, tx, WEIGHTS, mesh, n_micro=2,
+                                       fsdp=True)
+    p_sh, o_sh = prepare(jax.tree.map(lambda x: x.copy(), params),
+                         tx.init(params))
+    # the FSDP layout must be real: at least one leaf sharded over 'data'
+    specs = {s.spec for s in jax.tree.leaves(
+        jax.tree.map(lambda x: x.sharding, p_sh))}
+    assert any("data" in str(s) for s in specs), specs
+    p2, o2, m2 = step(p_sh, o_sh, pb, jax.random.PRNGKey(5))
+
+    np.testing.assert_allclose(float(m2["loss"]), float(m1["loss"]), rtol=1e-4)
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(jax.device_get(a) - jax.device_get(b)))),
+        p1, p2)
+    assert max(jax.tree.leaves(deltas)) < 1e-5

@@ -47,8 +47,10 @@ def main():
                          "trunk's block stack shards over this many pipeline "
                          "stages (GPipe microbatching, parallel/pp.py) while "
                          "the batch shards over the rest — the depth axis, "
-                         "for block stacks that exceed one chip's HBM. "
-                         "num_blocks must be divisible by it.")
+                         "for block-stack activations/compute that exceed "
+                         "one chip. num_blocks must be divisible by it. "
+                         "Combine with --fsdp to also shard params+Adam "
+                         "state 1/N_data over the data axis.")
     ap.add_argument("--pp_microbatches", type=int, default=4,
                     help="microbatches per step under --pp; the fill/drain "
                          "bubble is (pp-1)/(microbatches+pp-1).")
@@ -255,9 +257,13 @@ def main():
         logger.info("Resumed from %s at iteration %d", args.resume, it_first)
 
     loss_weights = dict(train_cfg["loss_weights"])
-    if args.pp and (args.fsdp or args.tp):
-        ap.error("--pp composes with the data axis of its own (data, pipe) "
-                 "mesh; combining it with --fsdp/--tp is not supported")
+    if args.pp and args.tp:
+        ap.error("--pp composes with --fsdp (state sharded over 'data') and "
+                 "the data axis on its (data, pipe) mesh; --tp is not "
+                 "supported alongside it — the pair-row axis would need a "
+                 "third mesh dimension, and the pipelined shard_map body "
+                 "computes pair tensors per stage where a 'model'-axis "
+                 "constraint has no meaning")
     if args.multihost and not args.dp:
         # a plain (unsharded) jit step cannot consume multi-process arrays
         logger.info("--multihost implies --dp; enabling the data mesh")
@@ -283,6 +289,20 @@ def main():
             mesh = make_mesh_2d(n_dev // args.tp, args.tp)
             step_fn, fsdp_prepare = make_fsdp_train_step(
                 model, tx, loss_weights, mesh, tp_axis="model")
+        elif args.pp:
+            # --fsdp --pp: state 1/N_data (FSDP) + block compute/activations
+            # 1/S (GPipe) on one (data, pipe) mesh — the two memory axes the
+            # depth recipe needs (train_step.make_pp_train_step docstring;
+            # equivalence pinned by tests/test_pp.py::test_pp_fsdp_*).
+            from pepflowww_tpu.parallel.pp import make_mesh_pp
+            from pepflowww_tpu.training.train_step import make_pp_train_step
+
+            n_dev = len(jax.devices())
+            assert n_dev % args.pp == 0, (n_dev, args.pp)
+            mesh = make_mesh_pp(n_dev // args.pp, args.pp)
+            step_fn, fsdp_prepare = make_pp_train_step(
+                model, tx, loss_weights, mesh,
+                n_micro=args.pp_microbatches, fsdp=True)
         else:
             mesh = make_mesh()
             step_fn, fsdp_prepare = make_fsdp_train_step(model, tx, loss_weights, mesh)
