@@ -152,3 +152,51 @@ def test_mosaic_manual_axes_contract():
     # the manual-axes escape hatch: SPMDAxisContext is only rejected when
     # the manual axes do NOT cover the whole mesh
     assert "manual_axes" in src and "SPMDAxisContext" in src
+
+
+def test_train_cli_dp_manual(tmp_path):
+    """`--dp_manual` trains from the CLI (8 virtual CPU devices): finite
+    losses, clean exit. Guards the train.py wiring only — the step's
+    numerics are pinned by test_manual_train_step_matches_hand_reduced_grads
+    above, and composition with --fsdp/--tp/--pp must refuse loudly."""
+    import os
+    import subprocess
+    import sys
+
+    import yaml
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "configs/learn_angle.yaml")) as f:
+        cfg = yaml.safe_load(f)
+    cfg["model"]["encoder"]["ipa"].update(
+        c_s=32, c_z=16, c_hidden=32, no_heads=2, no_qk_points=2,
+        no_v_points=3, seq_tfmr_num_layers=1, num_blocks=2)
+    cfg["model"]["encoder"]["node_embed_size"] = 32
+    cfg["model"]["encoder"]["edge_embed_size"] = 16
+    path = tmp_path / "tiny_dp_manual.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import sys, runpy; "
+        f"sys.argv=['train.py','--config',{str(path)!r},'--synthetic','--debug',"
+        "'--max_iters','4','--log_freq','2','--batch_size','8',"
+        "'--dp_manual']; "
+        "runpy.run_path('train.py', run_name='__main__')"
+    )
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, cwd=root, timeout=900)
+    assert out.returncode == 0, (out.stdout[-2000:], out.stderr[-2000:])
+    log = out.stdout + out.stderr
+    losses = [float(m) for m in
+              __import__("re").findall(r"it \d+ \| loss ([-\d.]+)", log)]
+    assert losses and all(np.isfinite(l) for l in losses), log[-2000:]
+
+    # the composition guard: --dp_manual with a GSPMD axis must refuse
+    code_bad = code.replace("'--dp_manual']", "'--dp_manual','--fsdp']")
+    out_bad = subprocess.run([sys.executable, "-c", code_bad],
+                             capture_output=True, text=True, cwd=root,
+                             timeout=300)
+    assert out_bad.returncode != 0
+    assert "--dp_manual" in (out_bad.stdout + out_bad.stderr)

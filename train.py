@@ -31,6 +31,11 @@ def main():
     ap.add_argument("--resume", type=str, default=None)
     ap.add_argument("--debug", action="store_true")
     ap.add_argument("--dp", action="store_true", help="data-parallel over all devices")
+    ap.add_argument("--dp_manual", action="store_true",
+                    help="with --dp: run the per-device program inside "
+                         "shard_map instead of automatic SPMD, so the fused "
+                         "Pallas kernels survive a multi-chip mesh "
+                         "(parallel/manual.py; per-shard corruption RNG)")
     ap.add_argument("--fsdp", action="store_true",
                     help="data-parallel with params+optimizer state sharded "
                          "over the data axis (ZeRO-3 memory footprint; "
@@ -268,6 +273,16 @@ def main():
         # a plain (unsharded) jit step cannot consume multi-process arrays
         logger.info("--multihost implies --dp; enabling the data mesh")
         args.dp = True
+    if args.dp_manual and (args.fsdp or args.tp or args.pp):
+        raise SystemExit(
+            "--dp_manual is the 1-D data-mesh path (the whole per-device "
+            "program runs inside shard_map); it cannot compose with "
+            "--fsdp/--tp/--pp, which need GSPMD to place collectives inside "
+            "the step. Those factories fall back to the XLA-graph profile "
+            "on multi-chip meshes instead (parallel/tp.py).")
+    if args.dp_manual and not args.dp:
+        logger.info("--dp_manual implies --dp; enabling the data mesh")
+        args.dp = True
     if args.fsdp:
         # ZeRO-3-style state sharding (parallel/fsdp.py): same numerics as
         # --dp (tests/test_fsdp.py), 1/N params+grads+Adam moments per chip.
@@ -342,7 +357,20 @@ def main():
         from pepflowww_tpu.parallel.mesh import replicate
 
         mesh = make_mesh()
-        step_fn = make_dp_train_step(model, tx, loss_weights, mesh)
+        if args.dp_manual:
+            # shard_map DP (parallel/manual.py): keeps the Mosaic kernels on
+            # >1-device meshes; per-shard corruption RNG + per-shard NaN
+            # rescue (documented divergences from the automatic-SPMD step).
+            # Multihost stays on automatic SPMD: the manual path's semantics
+            # are pinned single-process only (tests/test_manual.py).
+            if args.multihost:
+                raise SystemExit("--dp_manual is single-process; drop it or "
+                                 "drop --multihost")
+            from pepflowww_tpu.parallel.manual import make_manual_dp_train_step
+
+            step_fn = make_manual_dp_train_step(model, tx, loss_weights, mesh)
+        else:
+            step_fn = make_dp_train_step(model, tx, loss_weights, mesh)
         # one-time conversion to mesh-wide replicated (global) arrays; under
         # --multihost this assembles them from the per-process copies, which
         # are identical because init/resume is identically seeded everywhere
