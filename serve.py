@@ -38,6 +38,16 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 
+class _Server(ThreadingHTTPServer):
+    """socketserver's default listen backlog is 5; a client pool that opens
+    its connections simultaneously (tools/serve_loadtest.py at 32 clients)
+    overflows that accept queue and gets connection resets before the
+    handler ever runs. 128 covers any realistic pool; accepted connections
+    still queue in the scheduler, which is where admission control lives."""
+
+    request_queue_size = 128
+
+
 class _State:
     model = None
     params = None
@@ -192,13 +202,37 @@ def _build_item(req: dict):
 _KEY_COUNTER = [0]
 
 
+def _make_group_sampler(steps: int):
+    """The ONE sampler-construction rule, shared by `_run_group` and the
+    `--warmup` path (they previously diverged: warmup under --dp built a
+    plain `make_sampler`, which on a real multi-chip mesh with the Pallas
+    profile hits jax's Mosaic partitioning raise AND caches a different
+    program than requests would build).
+
+    Under --tp: the 2-D (data, model) sampler. Under --dp: profile-aware —
+    the Pallas profile takes the manual shard_map path (keeps the fused
+    kernels per chip, sampling.make_best_dp_sampler docstring), the XLA
+    profile takes automatic SPMD. Single chip: the plain sampler with the
+    B=64 microbatch optimum (PERF.md batch sweep).
+    """
+    from pepflowww_tpu import sampling
+
+    if S.mesh is not None and getattr(S.args, "tp", 0):
+        return sampling.make_tp_sampler(S.model, S.mesh, num_steps=steps)
+    if S.mesh is not None:
+        # No microbatch chunking under --dp: the scheduler's merge cap is
+        # already 64 x n_devices (the per-chip optimum) and the sharded
+        # inputs make the one program SPMD over the mesh.
+        return sampling.make_best_dp_sampler(S.model, S.mesh, num_steps=steps)
+    return sampling.make_sampler(S.model, num_steps=steps, microbatch=64)
+
+
 def _run_group(group_key, rows, contexts):
     """Execute one merged device batch; returns one result dict per row."""
     import jax
     import jax.numpy as jnp
 
     from pepflowww_tpu import metrics as M
-    from pepflowww_tpu import sampling
     from pepflowww_tpu.data.collate import device_batch, pad_and_collate
     from pepflowww_tpu.data.pdb import save_pdb
     from pepflowww_tpu.inference import reconstruct_full_atom_outputs, _chain_letters
@@ -226,33 +260,25 @@ def _run_group(group_key, rows, contexts):
     with S.lock:
         skey = (bucket, n_padded, steps)
         if skey not in S.samplers:
-            # Under --dp: no microbatch chunking — the scheduler's max_batch
-            # is already 64 x n_devices (the per-chip optimum, PERF.md batch
-            # sweep), and the sharded inputs make the one jit program SPMD
-            # over the mesh. Under --tp the pair tensors additionally shard
-            # rows on the model axis (make_tp_sampler).
-            if S.mesh is not None and getattr(S.args, "tp", 0):
-                S.samplers[skey] = sampling.make_tp_sampler(
-                    S.model, S.mesh, num_steps=steps)
-            elif S.mesh is not None:
-                # Profile-aware DP: the Pallas profile takes the shard_map
-                # path (keeps the fused kernels per chip — a pod serves at
-                # the single-chip kernel throughput); the XLA profile takes
-                # automatic SPMD (sampling.make_best_dp_sampler docstring).
-                # The padded batch is already a device multiple (above).
-                S.samplers[skey] = sampling.make_best_dp_sampler(
-                    S.model, S.mesh, num_steps=steps)
-            else:
-                S.samplers[skey] = sampling.make_sampler(
-                    S.model, num_steps=steps, microbatch=64,
-                )
+            # Shared construction rule (also used by --warmup); the padded
+            # batch is already a device multiple (above).
+            S.samplers[skey] = _make_group_sampler(steps)
         fn = S.samplers[skey]
         _KEY_COUNTER[0] += 1
         key = jax.random.PRNGKey(_KEY_COUNTER[0])
 
+    import time as _time
+
+    t0 = _time.perf_counter()
     out = fn(S.params, batch, key)
+    # jax dispatch is async — force the fetch so the timing split below is
+    # honest (np.asarray, not block_until_ready: axon tunnel trap, CLAUDE.md)
+    out = {k: np.asarray(v) for k, v in out.items()}
+    t1 = _time.perf_counter()
     m = M.evaluate_sample(out, batch)
+    t2 = _time.perf_counter()
     pos15, mask15 = reconstruct_full_atom_outputs(out, batch_np)
+    t3 = _time.perf_counter()
     seqs = np.asarray(out["seqs"])
     res_mask = np.asarray(batch_np["res_mask"]).astype(bool)
     results = []
@@ -273,6 +299,10 @@ def _run_group(group_key, rows, contexts):
             "aar": float(m["aar"][b]),
             "tm_score": float(m["tm_score"][b]),
         })
+    t4 = _time.perf_counter()
+    print(f"[serve] group bucket={bucket} n={n_real}/{n_padded} steps={steps} "
+          f"sample={t1 - t0:.2f}s metrics={t2 - t1:.2f}s rebuild={t3 - t2:.2f}s "
+          f"pdb={t4 - t3:.2f}s", flush=True)
     return results
 
 
@@ -284,9 +314,13 @@ def _sample(req: dict) -> dict:
     steps = int(req.get("num_steps", 100))
     bucket = bucket_length(len(item["aa"]))
 
-    if S.scheduler is None:
-        n_dev = S.mesh.devices.size if S.mesh is not None else 1
-        S.scheduler = BatchScheduler(_run_group, max_batch=64 * n_dev)
+    with S.lock:
+        # under the lock: two concurrent first requests must not each build
+        # a scheduler (the loser's worker thread would linger and split
+        # cross-request batching between two queues)
+        if S.scheduler is None:
+            n_dev = S.mesh.devices.size if S.mesh is not None else 1
+            S.scheduler = BatchScheduler(_run_group, max_batch=64 * n_dev)
     rows = replicate_item(item, n)
     per_row = S.scheduler.submit((bucket, steps), rows, req)
     return {
@@ -411,7 +445,6 @@ def main():
         print(f"[serve] data-parallel over {S.mesh.devices.size} devices")
 
     if args.warmup:
-        from pepflowww_tpu import sampling
         from pepflowww_tpu.data.collate import pad_and_collate, replicate_item
         from pepflowww_tpu.data.synthetic import make_complex
 
@@ -426,13 +459,12 @@ def main():
             wb = device_batch(pad_and_collate(replicate_item(item, warm_n),
                                               pad_to=bucket))
             wb = {kk: jnp.asarray(v) for kk, v in wb.items()}
-            if S.mesh is not None and args.tp:
-                fn = sampling.make_tp_sampler(S.model, S.mesh, num_steps=100)
-            else:
-                fn = sampling.make_sampler(
-                    S.model, num_steps=100,
-                    microbatch=None if S.mesh is not None else 64,
-                )
+            # The EXACT sampler requests will use (_make_group_sampler): the
+            # old inline construction diverged under --dp — it compiled a
+            # plain make_sampler, which a Pallas-profile pod cannot even
+            # lower (Mosaic partitioning raise) and which is not the program
+            # _run_group would pick for the same cache key.
+            fn = _make_group_sampler(100)
             if S.mesh is not None:
                 from pepflowww_tpu.parallel.mesh import shard_batch
 
@@ -441,7 +473,7 @@ def main():
             S.samplers[(bucket, warm_n, 100)] = fn
             print(f"[serve] warmed bucket {bucket} (100 steps, {warm_n} samples)")
 
-    server = ThreadingHTTPServer((args.host, args.port), Handler)
+    server = _Server((args.host, args.port), Handler)
     print(f"[serve] listening on http://{args.host}:{args.port}")
     server.serve_forever()
 

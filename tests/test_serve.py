@@ -3,7 +3,6 @@
 import json
 import threading
 import urllib.request
-from http.server import ThreadingHTTPServer
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +46,11 @@ def tiny_server(complex_pdbs):
     )["params"]
     serve.S.samplers = {}
 
-    server = ThreadingHTTPServer(("127.0.0.1", 0), serve.Handler)
+    # serve._Server, not the stock ThreadingHTTPServer: tests exercise the
+    # same deep-backlog accept queue production uses (32-client load in
+    # test_batch_scheduler_concurrent_load_two_buckets overflows the stock
+    # backlog of 5 on a contended host).
+    server = serve._Server(("127.0.0.1", 0), serve.Handler)
     port = server.server_address[1]
     thread = threading.Thread(target=server.serve_forever, daemon=True)
     thread.start()
@@ -294,3 +297,38 @@ def test_batch_scheduler_merges_concurrent_requests(tiny_server, complex_pdbs):
     assert all(len(o["pdbs"]) == 2 for o in outs)
     assert sum(calls) == 8  # all rows ran
     assert max(calls) > 2   # at least one call merged multiple requests
+
+
+def test_make_group_sampler_routing(tiny_server, monkeypatch):
+    """`_make_group_sampler` is the ONE construction rule shared by the
+    `--warmup` path and `_run_group` — pin its routing: --tp -> the 2-D TP
+    sampler; --dp with a Pallas profile -> the manual shard_map path (a
+    plain make_sampler cannot even lower on a Pallas-profile pod: Mosaic
+    partitioning raise); --dp with the XLA profile -> automatic SPMD;
+    single chip -> the plain sampler with the B=64 microbatch optimum."""
+    import types
+
+    import pepflowww_tpu.sampling as sampling
+    from pepflowww_tpu.parallel.mesh import make_mesh
+    from pepflowww_tpu.parallel.tp import make_mesh_2d
+
+    calls = []
+    monkeypatch.setattr(sampling, "make_tp_sampler",
+                        lambda *a, **k: calls.append("tp") or "tp")
+    monkeypatch.setattr(sampling, "make_best_dp_sampler",
+                        lambda *a, **k: calls.append("best_dp") or "best_dp")
+    monkeypatch.setattr(sampling, "make_sampler",
+                        lambda *a, **k: calls.append(("plain", k.get("microbatch")))
+                        or "plain")
+
+    old = (serve.S.mesh, serve.S.args)
+    try:
+        serve.S.mesh, serve.S.args = make_mesh_2d(4, 2), types.SimpleNamespace(tp=2)
+        assert serve._make_group_sampler(100) == "tp"
+        serve.S.mesh, serve.S.args = make_mesh(), types.SimpleNamespace(tp=0)
+        assert serve._make_group_sampler(100) == "best_dp"
+        serve.S.mesh, serve.S.args = None, None
+        assert serve._make_group_sampler(100) == "plain"
+    finally:
+        serve.S.mesh, serve.S.args = old
+    assert calls == ["tp", "best_dp", ("plain", 64)]
