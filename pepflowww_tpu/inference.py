@@ -23,37 +23,75 @@ from pepflowww_tpu.ops import allatom
 from pepflowww_tpu.ops.frames import construct_3d_basis
 
 
-def reconstruct_full_atom_outputs(sample_out: dict, batch: dict):
-    """(pos15, mask15) per sample with context residues kept intact."""
-    rot = jnp.asarray(sample_out["rotmats"])
-    trans = jnp.asarray(sample_out["trans"])
-    angles = jnp.asarray(sample_out["angles"])
-    seqs = jnp.asarray(sample_out["seqs"])
-    gen = jnp.asarray(batch["generate_mask"])
-
+def _reconstruct_full_atom(rot, trans, angles, seqs, gen, ctx_pos, ctx_mask):
     pos14, _, _ = allatom.full_atom_reconstruction(rot, trans, angles, seqs)
     pos15 = allatom.full_atom_to_pos15(pos14)
     mask15 = allatom.heavyatom_mask_for(seqs)
-
-    ctx_pos = jnp.asarray(batch["pos_heavyatom"])
-    ctx_mask = jnp.asarray(batch["mask_heavyatom"]).astype(bool)
     pos15 = jnp.where(gen[..., None, None], pos15, ctx_pos)
     mask15 = jnp.where(gen[..., None], mask15, ctx_mask)
+    return pos15, mask15
+
+
+# Module-level jit wrappers: a fresh jax.jit(f) per call would rebuild the
+# wrapper (and risk its cache) every group; one wrapper keyed by shape keeps
+# exactly one compile per (B, L) bucket for the whole process.
+_JIT_RECONSTRUCT_FULL = None
+_JIT_RECONSTRUCT_BB = None
+
+
+def _jit_full():
+    global _JIT_RECONSTRUCT_FULL
+    if _JIT_RECONSTRUCT_FULL is None:
+        import jax
+
+        _JIT_RECONSTRUCT_FULL = jax.jit(_reconstruct_full_atom)
+    return _JIT_RECONSTRUCT_FULL
+
+
+def _jit_bb():
+    global _JIT_RECONSTRUCT_BB
+    if _JIT_RECONSTRUCT_BB is None:
+        import jax
+
+        _JIT_RECONSTRUCT_BB = jax.jit(allatom.reconstruct_backbone_partially)
+    return _JIT_RECONSTRUCT_BB
+
+
+def reconstruct_full_atom_outputs(sample_out: dict, batch: dict):
+    """(pos15, mask15) per sample with context residues kept intact.
+
+    One jit call per output shape, NOT eager ops: Alg-24 dispatches dozens
+    of small gathers/matmuls, and eager dispatch on this image's remote-TPU
+    tunnel costs whole seconds PER OP (CLAUDE.md trap; measured via
+    serve.py's per-group timing split — the eager form was the serving
+    bottleneck at 64-row groups). jit's shape-keyed cache bounds compiles to
+    the server's bucketed (B, L) set; sample.py reuses one shape throughout.
+    """
+    pos15, mask15 = _jit_full()(
+        jnp.asarray(sample_out["rotmats"]),
+        jnp.asarray(sample_out["trans"]),
+        jnp.asarray(sample_out["angles"]),
+        jnp.asarray(sample_out["seqs"]),
+        jnp.asarray(batch["generate_mask"]),
+        jnp.asarray(batch["pos_heavyatom"]),
+        jnp.asarray(batch["mask_heavyatom"]).astype(bool),
+    )
     return np.asarray(pos15), np.asarray(mask15)
 
 
 def reconstruct_backbone_outputs(sample_out: dict, batch: dict):
-    """Backbone-only rebuild (N/CA/C/O), context spliced (sample.py:40-66)."""
-    rot = jnp.asarray(sample_out["rotmats"])
-    trans = jnp.asarray(sample_out["trans"])
-    seqs = jnp.asarray(sample_out["seqs"])
-    pos_ctx = jnp.asarray(batch["pos_heavyatom"])
-    mask_atoms = jnp.asarray(batch["mask_heavyatom"]).astype(bool)
-    gen = jnp.asarray(batch["generate_mask"])
-    pos_new, mask_new = allatom.reconstruct_backbone_partially(
-        pos_ctx, rot, trans, seqs,
+    """Backbone-only rebuild (N/CA/C/O), context spliced (sample.py:40-66).
+
+    jit for the same reason as reconstruct_full_atom_outputs above (eager
+    per-op dispatch is pathological over this image's remote-TPU tunnel)."""
+    pos_new, mask_new = _jit_bb()(
+        jnp.asarray(batch["pos_heavyatom"]),
+        jnp.asarray(sample_out["rotmats"]),
+        jnp.asarray(sample_out["trans"]),
+        jnp.asarray(sample_out["seqs"]),
         jnp.asarray(batch["chain_nb"]), jnp.asarray(batch["res_nb"]),
-        mask_atoms, gen,
+        jnp.asarray(batch["mask_heavyatom"]).astype(bool),
+        jnp.asarray(batch["generate_mask"]),
     )
     return np.asarray(pos_new), np.asarray(mask_new)
 

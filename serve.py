@@ -227,6 +227,38 @@ def _make_group_sampler(steps: int):
     return sampling.make_sampler(S.model, num_steps=steps, microbatch=64)
 
 
+def _pad_rule(n_real: int, n_dev: int) -> int:
+    """Padded device-batch size for a merged group of `n_real` rows.
+
+    n_dev x (power of two), so compiled programs are bounded per
+    (bucket, steps) and the batch shards evenly on a mesh; extra rows
+    replicate the last item and are discarded from the results. For a
+    power-of-two device count this is exactly "next power of two >= n_real";
+    the general form is used because it is IDEMPOTENT for every n_dev —
+    pad(pad(n)) == pad(n) — which `warmup_sizes` and the warm-key test rely
+    on (the earlier "pow2 then round up to a device multiple" rule was not:
+    with n_dev=6, 8 rows padded to 12 but 12 rows padded to 18, so warming
+    a 12-row group compiled the 18-row program and left 12 cold)."""
+    per_dev = 1
+    while per_dev * n_dev < n_real:
+        per_dev *= 2
+    return per_dev * n_dev
+
+
+def _group_pad_size(n_real: int) -> int:
+    return _pad_rule(n_real, S.mesh.devices.size if S.mesh is not None else 1)
+
+
+def warmup_sizes(n_dev: int, cap_per_dev: int = 64, floor: int = 8) -> list:
+    """Every padded group size the scheduler can produce under load — the
+    image of `_pad_rule` over real group sizes from the single-request floor
+    to the merge cap. `--warmup` compiles all of them: any size reachable by
+    `_run_group` but not warmed compiles mid-traffic with every queued
+    client waiting behind it (measured cost in main()'s warmup comment)."""
+    cap = cap_per_dev * n_dev
+    return sorted({_pad_rule(n, n_dev) for n in range(min(floor, cap), cap + 1)})
+
+
 def _run_group(group_key, rows, contexts):
     """Execute one merged device batch; returns one result dict per row."""
     import jax
@@ -238,17 +270,8 @@ def _run_group(group_key, rows, contexts):
     from pepflowww_tpu.inference import reconstruct_full_atom_outputs, _chain_letters
 
     bucket, steps = group_key
-    # Pad the merged batch to a power-of-two size so compiled programs are
-    # bounded per (bucket, steps); extra rows replicate the last item and are
-    # discarded from the results. Under --dp the padded size is also rounded
-    # up to a multiple of the device count so the batch shards evenly.
     n_real = len(rows)
-    n_padded = 1
-    while n_padded < n_real:
-        n_padded *= 2
-    if S.mesh is not None:
-        n_dev = S.mesh.devices.size
-        n_padded = max(n_padded, ((n_padded + n_dev - 1) // n_dev) * n_dev)
+    n_padded = _group_pad_size(n_real)
     rows = rows + [rows[-1]] * (n_padded - n_real)
     batch_np = pad_and_collate(rows, pad_to=bucket)
     batch = {k: jnp.asarray(v) for k, v in device_batch(batch_np).items()}
@@ -445,33 +468,33 @@ def main():
         print(f"[serve] data-parallel over {S.mesh.devices.size} devices")
 
     if args.warmup:
-        from pepflowww_tpu.data.collate import pad_and_collate, replicate_item
+        import time as _time
+
+        from pepflowww_tpu.data.collate import replicate_item
         from pepflowww_tpu.data.synthetic import make_complex
 
+        # Warm by driving _run_group itself — the EXACT code path requests
+        # take — at EVERY padded group size the scheduler can produce under
+        # load: the full power-of-two ladder from the single-request size
+        # (8, the p50 of idle traffic) up to the merge cap (64 × n_dev).
+        # Warming only the endpoints is not enough: _run_group pads each
+        # merged group to the next power of two, so partially-merged groups
+        # hit the INTERMEDIATE sizes, and each unwarmed size compiles
+        # mid-traffic with every queued client waiting behind it (measured,
+        # 32-client load test: endpoints-only warm left n=16/n=32 cold —
+        # 32 s + 45 s stalls, p50 51 s / 4.8 peptides/s; with every ladder
+        # shape warm the same test runs p50 6.2 s / 40.8 peptides/s, every
+        # group at 0.3-0.7 s). Driving _run_group also compiles the
+        # jitted full-atom rebuild and fills S.samplers under the same keys
+        # requests will hit.
         n_dev = S.mesh.devices.size if S.mesh is not None else 1
-        # Same padding arithmetic as _run_group (pow2, then round up to a
-        # device multiple): on a non-power-of-two chip count a bare
-        # max(8, n_dev) would shard unevenly and cache a sampler key no real
-        # request can ever hit (ADVICE r3).
-        warm_n = ((8 + n_dev - 1) // n_dev) * n_dev
         for bucket in (int(b) for b in args.warmup.split(",")):
             item = make_complex(rng, pep_len=8, rec_len=max(bucket - 24, 8))
-            wb = device_batch(pad_and_collate(replicate_item(item, warm_n),
-                                              pad_to=bucket))
-            wb = {kk: jnp.asarray(v) for kk, v in wb.items()}
-            # The EXACT sampler requests will use (_make_group_sampler): the
-            # old inline construction diverged under --dp — it compiled a
-            # plain make_sampler, which a Pallas-profile pod cannot even
-            # lower (Mosaic partitioning raise) and which is not the program
-            # _run_group would pick for the same cache key.
-            fn = _make_group_sampler(100)
-            if S.mesh is not None:
-                from pepflowww_tpu.parallel.mesh import shard_batch
-
-                wb = shard_batch(wb, S.mesh)
-            np.asarray(fn(S.params, wb, jax.random.PRNGKey(0))["trans"])
-            S.samplers[(bucket, warm_n, 100)] = fn
-            print(f"[serve] warmed bucket {bucket} (100 steps, {warm_n} samples)")
+            for n in warmup_sizes(n_dev):
+                t0 = _time.time()
+                _run_group((bucket, 100), replicate_item(item, n), [None])
+                print(f"[serve] warmed bucket {bucket} n={n} "
+                      f"(100 steps, {_time.time() - t0:.0f}s)")
 
     server = _Server((args.host, args.port), Handler)
     print(f"[serve] listening on http://{args.host}:{args.port}")

@@ -332,3 +332,29 @@ def test_make_group_sampler_routing(tiny_server, monkeypatch):
     finally:
         serve.S.mesh, serve.S.args = old
     assert calls == ["tp", "best_dp", ("plain", 64)]
+
+
+def test_warmup_sizes_cover_every_reachable_group_pad():
+    """--warmup must compile EVERY padded size the scheduler can produce.
+
+    Regression for a measured production incident: warming only the
+    endpoint sizes {8, 64} left the intermediate power-of-two pads (16, 32)
+    to compile mid-traffic — a 32-client load test stalled 32 s + 45 s
+    behind those compiles (p50 51 s vs 6.2 s with the full ladder warm).
+    The guard: over every real group size from the single-request floor (8)
+    to the merge cap (64 x n_dev), _pad_rule's output must be a member of
+    warmup_sizes(n_dev) — including non-power-of-two device counts, where
+    doubling a rounded size diverges from rounding a doubled power of two.
+    """
+    for n_dev in (1, 2, 4, 8, 6):
+        warmed = set(serve.warmup_sizes(n_dev))
+        for n_real in range(8, 64 * n_dev + 1):
+            pad = serve._pad_rule(n_real, n_dev)
+            assert pad in warmed, (n_dev, n_real, pad, sorted(warmed))
+    # The single-chip ladder is exactly the sizes the incident implicated.
+    assert serve.warmup_sizes(1) == [8, 16, 32, 64]
+    # Each warmed size must be its own fixed point (no pad-of-pad drift):
+    # _run_group(warm rows) must hit the same sampler key requests hit.
+    for n_dev in (1, 2, 4, 8, 6):
+        for n in serve.warmup_sizes(n_dev):
+            assert serve._pad_rule(n, n_dev) == n, (n_dev, n)
